@@ -1,0 +1,131 @@
+"""Unified alignment-file reading/writing with format autodetection.
+
+Format detection mirrors htslib's hts_detect_format consumed by the
+reference's sam_open_format calls: BAM = BGZF-wrapped "BAM\\1", SAM = text,
+CRAM = "CRAM" magic (decode support lands later; detection now so tools can
+give a clear error).
+"""
+
+from __future__ import annotations
+
+import sys
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..core.batch import ReadBatch
+from . import bam as bamio
+from . import bgzf
+from .header import SamHeader
+from .sam_text import format_records, parse_sam
+
+
+class FormatError(RuntimeError):
+    pass
+
+
+def detect_format(path: str) -> str:
+    """Sniff container format from the file head (htslib hts_detect_format
+    analog).  Returns one of cram / bam / sam.gz / bam_raw / sam."""
+    with open(path, "rb") as f:
+        head = f.read(65536)
+    if head[:4] == b"CRAM":
+        return "cram"
+    if head[:4] == b"BAM\1":
+        return "bam_raw"
+    if head[:2] == b"\x1f\x8b":
+        first = b""
+        try:
+            if bgzf.is_bgzf(head):
+                xlen = int.from_bytes(head[10:12], "little")
+                import zlib
+                first = zlib.decompressobj(-15).decompress(
+                    head[12 + xlen:], 16)
+            else:
+                import zlib
+                first = zlib.decompressobj(47).decompress(head, 16)
+        except Exception:
+            pass
+        return "bam" if first[:4] == b"BAM\1" else "sam.gz"
+    return "sam"
+
+
+@dataclass
+class AlignmentFile:
+    header: SamHeader
+    batch: ReadBatch
+    format: str = "sam"
+
+
+def read_alignments(path: str, threads: int = 0) -> AlignmentFile:
+    """Read a whole SAM/BAM file into a columnar batch."""
+    if path == "-":
+        data = sys.stdin.buffer.read()
+        return _read_from_bytes(data, threads)
+    with open(path, "rb") as f:
+        data = f.read()
+    return _read_from_bytes(data, threads)
+
+
+def _read_from_bytes(data: bytes, threads: int = 0) -> AlignmentFile:
+    if data[:4] == b"CRAM":
+        raise FormatError("CRAM input is not supported yet")
+    fmt = "sam"
+    if data[:2] == b"\x1f\x8b":
+        if bgzf.is_bgzf(data):
+            data = bgzf.decompress(data, threads=threads)
+        else:
+            import zlib
+            data = zlib.decompress(data, 47)
+    if data[:4] == b"BAM\1":
+        arr = np.frombuffer(data, np.uint8)
+        header, off = bamio.decode_header(arr)
+        batch = bamio.decode_records(arr, off)
+        return AlignmentFile(header=header, batch=batch, format="bam")
+    header, batch = parse_sam(data)
+    return AlignmentFile(header=header, batch=batch, format=fmt)
+
+
+def infer_output_format(path: str | None, explicit: str | None = None,
+                        default: str = "sam") -> str:
+    if explicit:
+        return explicit.lower()
+    if path:
+        p = path.lower()
+        if p.endswith(".bam"):
+            return "bam"
+        if p.endswith(".cram"):
+            return "cram"
+        if p.endswith(".sam.gz"):
+            return "sam.gz"
+        if p.endswith(".sam"):
+            return "sam"
+    return default
+
+
+def write_alignments(path: str | None, header: SamHeader, batch: ReadBatch,
+                     fmt: str = "sam", threads: int = 0, level: int = 6,
+                     include_header: bool = True,
+                     header_only: bool = False) -> bytes | None:
+    """Write records; path None/'-' writes to stdout."""
+    if fmt == "cram":
+        raise FormatError("CRAM output is not supported yet")
+    if fmt == "bam":
+        raw = bamio.encode_header(header)
+        if not header_only:
+            raw += bamio.encode_records(batch)
+        payload = bgzf.compress(raw, level=level, threads=threads)
+    else:
+        text = header.text if include_header else ""
+        if not header_only:
+            text += format_records(header, batch)
+        payload = text.encode("latin-1")
+        if fmt == "sam.gz":
+            payload = bgzf.compress(payload, level=level, threads=threads)
+    if path is None or path == "-":
+        sys.stdout.buffer.write(payload)
+        sys.stdout.buffer.flush()
+        return None
+    with open(path, "wb") as f:
+        f.write(payload)
+    return None
