@@ -218,3 +218,64 @@ def keep_tags(buf: np.ndarray, tags: set[str]) -> np.ndarray:
     if not keep:
         return np.empty(0, np.uint8)
     return np.concatenate(keep)
+
+
+# ----------------------------------------------------------- batch helpers
+
+def batch_tag_values(batch, tag: str):
+    """Object array: decoded value of ``tag`` per record (None if absent).
+    Per-record loop on the host (a native fast path can replace it)."""
+    out = np.empty(batch.n, object)
+    aux = batch.aux
+    off = batch.aux_off
+    for i in range(batch.n):
+        sub = aux[off[i]:off[i + 1]]
+        got = get_value(sub, tag)
+        out[i] = None if got is None else got[1]
+    return out
+
+
+def batch_tag_str_values(batch, tag: str):
+    """Like batch_tag_values, but rendered the way view's -d/-D filter
+    compares them (sam_view.c:189-208): ints via %d, A as the char,
+    Z/H as the string; floats are not usable as filter values."""
+    out = np.empty(batch.n, object)
+    aux = batch.aux
+    off = batch.aux_off
+    for i in range(batch.n):
+        sub = aux[off[i]:off[i + 1]]
+        got = get_value(sub, tag)
+        if got is None:
+            out[i] = None
+            continue
+        t, v = got
+        if t in "cCsSiI":
+            out[i] = str(v)
+        elif t == "A":
+            out[i] = v
+        elif t in "ZH":
+            out[i] = v
+        else:
+            out[i] = None
+    return out
+
+
+def batch_adjust_tags(batch, keep: set[str] | None = None,
+                      remove: set[str] | None = None):
+    """Rewrite the batch's aux columns keeping/removing tag sets
+    (view -x/--keep-tag, sam_view.c adjust_tags).  In place."""
+    aux = batch.aux
+    off = batch.aux_off
+    parts = []
+    new_off = np.zeros(batch.n + 1, np.int64)
+    for i in range(batch.n):
+        sub = aux[off[i]:off[i + 1]]
+        if keep is not None:
+            sub = keep_tags(sub, keep)
+        elif remove:
+            sub = delete_tags(sub, remove)
+        parts.append(sub)
+        new_off[i + 1] = new_off[i] + len(sub)
+    batch.aux = (np.concatenate(parts).astype(np.uint8)
+                 if parts else np.empty(0, np.uint8))
+    batch.aux_off = new_off

@@ -230,6 +230,44 @@ def read_bam(path: str, threads: int = 0) -> BamFile:
     return BamFile(header=header, batch=batch)
 
 
+def uoffset_to_voffset(uoffs: np.ndarray, coffs: np.ndarray,
+                       offsets: np.ndarray) -> np.ndarray:
+    """Map uncompressed-stream offsets to BGZF virtual offsets
+    ``(coffset << 16) | within_block`` given the block table from
+    bgzf.decompress_with_index."""
+    blk = np.searchsorted(uoffs, offsets, "right") - 1
+    # an offset exactly at the final block boundary maps to the end-of-data
+    # sentinel block (uoffs has n_blocks+1 entries, coffs is extended to
+    # match by the caller or clamped here)
+    blk = np.minimum(blk, coffs.size - 1)
+    return ((coffs[blk].astype(np.uint64) << np.uint64(16))
+            | (offsets - uoffs[blk]).astype(np.uint64))
+
+
+def read_bam_indexed(path: str, threads: int = 0):
+    """Read a BAM returning (BamFile, vstart, vend) where vstart/vend are
+    per-record virtual offsets — the inputs the BAI builder needs."""
+    with open(path, "rb") as f:
+        comp = f.read()
+    raw, coffs, uoffs = bgzf.decompress_with_index(comp, threads=threads)
+    # sentinel block at end-of-data so boundary offsets resolve
+    coffs = np.append(coffs, len(comp) - len(bgzf.BGZF_EOF)
+                      if comp.endswith(bgzf.BGZF_EOF) else len(comp))
+    data = np.frombuffer(raw, np.uint8)
+    header, off = decode_header(data)
+    offs = scan_record_offsets(data, off)
+    batch = decode_records(data, off)
+    if offs.size:
+        sizes = np.diff(np.append(offs, data.size))
+        vstart = uoffset_to_voffset(uoffs, coffs, offs)
+        rec_end = offs + sizes
+        # end offset exactly at a block boundary → voffset of next block
+        vend = uoffset_to_voffset(uoffs, coffs, rec_end)
+    else:
+        vstart = vend = np.empty(0, np.uint64)
+    return BamFile(header=header, batch=batch), vstart, vend
+
+
 def reg2bin(beg: int, end: int) -> int:
     """BAI bin for interval [beg, end) (SAM spec §5.3 algorithm)."""
     end -= 1

@@ -4,7 +4,16 @@ the reference's threads=>2 golden re-runs in test/test.pl)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU regardless of the ambient JAX_PLATFORMS (the driver machine
+# points it at the tunnelled TPU, where every new shape costs a 20-40 s
+# compile and only one process can hold the chip); the axon sitecustomize
+# overrides the env var via jax.config, so override it back the same way.
+# Set SAMTPU_TEST_TPU=1 to run the suite on real hardware.
+if not os.environ.get("SAMTPU_TEST_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
