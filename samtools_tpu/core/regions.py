@@ -70,9 +70,9 @@ def parse_region(reg: str, name2tid, n_refs: int | None = None) -> Region:
         beg = _parse_num(b) - 1 if b else 0
         end = _parse_num(e) if e else HTS_POS_MAX
     else:
+        # "chr:100" means from position 100 to the end of the chromosome
         beg = _parse_num(rest) - 1
-        end = HTS_POS_MAX if rest.endswith("-") else beg + 1
-        # single position "chr:100" means just that base in htslib
+        end = HTS_POS_MAX
     if beg < 0:
         beg = 0
     if end < beg:

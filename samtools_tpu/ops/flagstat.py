@@ -11,7 +11,7 @@ einsum + psum (see samtools_tpu.parallel.mesh).
 
 from __future__ import annotations
 
-import functools
+from .. import device as _device  # noqa: F401  (platform override)
 
 import jax
 import jax.numpy as jnp
