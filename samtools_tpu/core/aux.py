@@ -74,11 +74,11 @@ def find_tag(buf, tag: str):
 
 
 def get_value(buf, tag: str):
-    """Decoded Python value of tag, or None if absent."""
+    """(type_char, decoded value) of tag, or None if absent."""
     span = find_tag(buf, tag)
     if span is None:
         return None
-    return decode_value(buf, span[0])
+    return chr(buf[span[0] + 2]), decode_value(buf, span[0])
 
 
 def decode_value(buf, i: int):

@@ -187,8 +187,8 @@ def _fixup_long_cigars(b: ReadBatch):
         if ((c[0] & 0xF) == 4 and (c[0] >> 4) == lseq[i]
                 and (c[1] & 0xF) == 3):
             cg = auxmod.get_value(b.aux_of(int(i)), "CG")
-            if cg is not None and cg[0] == "I":
-                needs.append((int(i), np.array(cg[1], np.uint32)))
+            if cg is not None and cg[0] == "B" and cg[1][0] == "I":
+                needs.append((int(i), np.array(cg[1][1], np.uint32)))
     if not needs:
         return
     # rebuild cigar flat/offsets and strip CG tags for affected records

@@ -1,0 +1,417 @@
+"""BAQ — per-Base Alignment Quality (glocal pair-HMM).
+
+Reimplementation of htslib's probaln_glocal + sam_prob_realn (consumed at
+/root/reference/bam_plcmd.c:451; algorithm from Li 2011, "Improving SNP
+discovery by base alignment quality").  htslib is not vendored in the
+reference repo, so this is re-derived from the published algorithm and
+validated bit-for-bit against samtools' golden pileup outputs
+(/root/reference/test/mpileup/expected/*).
+
+The DP is a banded forward/backward over (query_pos, ref_pos) with
+per-row scaling; the band is a few positions wide, so each row is a small
+numpy vector op.  A device (Pallas) batch version can replace the per-read
+loop for the benchmark path; this host version is the correctness
+reference.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..core import aux as auxmod
+from ..core import flags as F
+
+# probaln_par_t defaults used by sam_prob_realn: d=0.001, e=0.1, bw=7 base
+PAR_D = 0.001
+PAR_E = 0.1
+
+EI = 0.25
+EM = 1.0 / 3.0
+
+# nt16 -> 2-bit int (4 = ambiguous), htslib seq_nt16_int
+NT16_INT = np.array([4, 0, 1, 4, 2, 4, 4, 4, 3, 4, 4, 4, 4, 4, 4, 4],
+                    np.int64)
+
+
+def probaln_glocal(ref: np.ndarray, query: np.ndarray, iqual: np.ndarray,
+                   bandwidth: int):
+    """Returns (state, bq) arrays per query base.
+
+    state[i] = (best_ref_pos << 2) | hmm_state; bq[i] = phred of posterior.
+    ref/query are 0-3 int codes (>3 = ambiguous).
+    """
+    l_ref = ref.size
+    l_query = query.size
+    if l_ref <= 0 or l_query <= 0:
+        return None, None
+    bw = max(l_ref, l_query)
+    if bw > bandwidth:
+        bw = bandwidth
+    if bw < abs(l_ref - l_query):
+        bw = abs(l_ref - l_query)
+    bw2 = bw * 2 + 1
+    W = bw2 * 3 + 6
+    f = np.zeros((l_query + 1, W))
+    b = np.zeros((l_query + 1, W))
+    s = np.zeros(l_query + 2)
+    qual = np.power(10.0, -iqual.astype(np.float64) / 10.0)
+
+    m = np.zeros(9)
+    sM = sI = 1.0 / (2 * l_query + 2)
+    d, e = PAR_D, PAR_E
+    m[0] = (1 - d - d) * (1 - sM)
+    m[1] = m[2] = d * (1 - sM)
+    m[3] = (1 - e) * (1 - sI)
+    m[4] = e * (1 - sI)
+    m[5] = 0.0
+    m[6] = 1 - e
+    m[8] = e
+    m[7] = 0.0
+    bM = (1 - d) / l_ref
+    bI = d / l_ref
+
+    def set_u(i, k):
+        x = k - i + bw
+        if x < 0:
+            x = 0
+        return x * 3
+
+    # --- forward ---
+    f[0, set_u(0, 0)] = s[0] = 1.0
+    # f[1]
+    beg, end = 1, min(l_ref, bw + 1)
+    ks = np.arange(beg, end + 1)
+    e_match = np.where((ref[ks - 1] > 3) | (query[0] > 3), 1.0,
+                       np.where(ref[ks - 1] == query[0],
+                                1.0 - qual[0], qual[0] * EM))
+    us = (ks - 1 + bw) * 3  # set_u(1, k)
+    f[1, us] = e_match * bM
+    f[1, us + 1] = EI * bI
+    # C sums sequentially in k order: fi[u] + fi[u+1] per k
+    ssum = float(np.cumsum(np.stack([f[1, us], f[1, us + 1]],
+                                    axis=1).ravel())[-1])
+    s[1] = ssum
+    lo = set_u(1, beg)
+    hi = set_u(1, end) + 2
+    f[1, lo:hi + 1] /= ssum  # C divides here (not reciprocal-multiply)
+
+    for i in range(2, l_query + 1):
+        qli = qual[i - 1]
+        qyi = query[i - 1]
+        beg = max(1, i - bw)
+        end = min(l_ref, i + bw)
+        ks = np.arange(beg, end + 1)
+        e_match = np.where((ref[ks - 1] > 3) | (qyi > 3), 1.0,
+                           np.where(ref[ks - 1] == qyi,
+                                    1.0 - qli, qli * EM))
+        u = (np.maximum(ks - i + bw, 0)) * 3
+        v11 = (np.maximum(ks - i + bw, 0)) * 3       # set_u(i-1, k-1)
+        v10 = (np.maximum(ks - (i - 1) + bw, 0)) * 3  # set_u(i-1, k)
+        fi1 = f[i - 1]
+        fM = e_match * (m[0] * fi1[v11] + m[3] * fi1[v11 + 1]
+                        + m[6] * fi1[v11 + 2])
+        fI = EI * (m[1] * fi1[v10] + m[4] * fi1[v10 + 1])
+        # deletion needs sequential scan (depends on current row k-1)
+        fi = f[i]
+        fi[u] = fM
+        fi[u + 1] = fI
+        # sequential D recurrence over k
+        for idx, k in enumerate(ks):
+            v01 = set_u(i, k - 1)
+            uu = u[idx]
+            fi[uu + 2] = m[2] * fi[v01] + m[8] * fi[v01 + 2]
+        # C order: per k, fi[u] + fi[u+1] + fi[u+2] accumulated sequentially
+        ssum = float(np.cumsum(np.stack([fi[u], fi[u + 1], fi[u + 2]],
+                                        axis=1).ravel())[-1])
+        s[i] = ssum
+        lo = set_u(i, beg)
+        hi = set_u(i, end) + 2
+        fi[lo:hi + 1] *= 1.0 / ssum  # C multiplies by reciprocal here
+
+    # f[l_query+1]
+    total = 0.0
+    for k in range(1, l_ref + 1):
+        u = set_u(l_query, k)
+        if u < 3 or u >= bw2 * 3 + 3:
+            continue
+        total += f[l_query, u] * sM + f[l_query, u + 1] * sI
+    s[l_query + 1] = total
+
+    # --- backward ---
+    for k in range(1, l_ref + 1):
+        u = set_u(l_query, k)
+        if u < 3 or u >= bw2 * 3 + 3:
+            continue
+        b[l_query, u] = sM / s[l_query] / s[l_query + 1]
+        b[l_query, u + 1] = sI / s[l_query] / s[l_query + 1]
+    for i in range(l_query - 1, 0, -1):
+        beg = max(1, i - bw)
+        end = min(l_ref, i + bw)
+        qli1 = qual[i]
+        qyi1 = query[i]
+        bi = b[i]
+        bi1 = b[i + 1]
+        for k in range(end, beg - 1, -1):
+            u = set_u(i, k)
+            v11 = set_u(i + 1, k + 1)
+            v10 = set_u(i + 1, k)
+            v01 = set_u(i, k + 1)
+            if k >= l_ref:
+                ee = 0.0
+            elif ref[k] > 3 or qyi1 > 3:
+                ee = 1.0 * bi1[v11]
+            elif ref[k] == qyi1:
+                ee = (1.0 - qli1) * bi1[v11]
+            else:
+                ee = qli1 * EM * bi1[v11]
+            bi[u] = ee * m[0] + EI * m[1] * bi1[v10 + 1] + m[2] * bi[v01 + 2]
+            bi[u + 1] = ee * m[3] + EI * m[4] * bi1[v10 + 1]
+            bi[u + 2] = ee * m[6] + m[8] * bi[v01 + 2]
+        lo = set_u(i, beg)
+        hi = set_u(i, end) + 2
+        bi[lo:hi + 1] *= 1.0 / s[i]  # C multiplies by reciprocal
+
+    # --- posterior decode ---
+    state = np.zeros(l_query, np.int64)
+    bq = np.zeros(l_query, np.int64)
+    for i in range(1, l_query + 1):
+        beg = max(1, i - bw)
+        end = min(l_ref, i + bw)
+        ks = np.arange(beg, end + 1)
+        u = (np.maximum(ks - i + bw, 0)) * 3
+        zM = f[i, u] * b[i, u]
+        zI = f[i, u + 1] * b[i, u + 1]
+        # C scans per k: M then I, strict > keeps first max; sum sequential
+        allz = np.stack([zM, zI], axis=1).ravel()
+        ssum = float(np.cumsum(allz)[-1])
+        kidx = int(np.argmax(allz))
+        mx = float(allz[kidx])
+        if mx <= 0.0:
+            kidx, mx = -1, 0.0
+            max_k = -1
+        else:
+            max_k = (int(ks[kidx // 2]) - 1) << 2 | (kidx & 1)
+        mxn = mx / ssum if ssum > 0 else 0.0
+        state[i - 1] = max_k
+        kq = int(-4.343 * np.log1p(-mxn) + 0.499) if mxn < 1.0 else 100
+        bq[i - 1] = 99 if kq > 100 else kq
+    return state, bq
+
+
+def sam_prob_realn_single(pos: int, cigar: np.ndarray, seq: np.ndarray,
+                          qual: np.ndarray, aux: np.ndarray,
+                          ref_nt16int: np.ndarray, ref_len: int,
+                          flag: int = 3):
+    """One-read sam_prob_realn.  Returns (new_qual, new_aux) or None when
+    BAQ is skipped (htslib returns <0).  ``ref_nt16int`` is the whole
+    contig as 0-4 codes."""
+    apply_baq = flag & 1
+    extend_baq = (flag >> 1) & 1
+    redo_baq = flag & 4
+    l_qseq = seq.size
+    if l_qseq == 0 or qual.size == 0 or qual[0] == 0xFF:
+        return None
+
+    bq_val = auxmod.get_value(aux, "BQ")
+    zq_val = auxmod.get_value(aux, "ZQ")
+    bq = bq_val[1] if bq_val is not None and bq_val[0] == "Z" else None
+    zq = zq_val[1] if zq_val is not None and zq_val[0] == "Z" else None
+    new_aux = aux
+    if bq is not None and redo_baq:
+        new_aux = auxmod.delete_tags(new_aux, {"BQ"})
+        bq = None
+    if bq is not None and zq is not None:
+        new_aux = auxmod.delete_tags(new_aux, {"ZQ"})
+        zq = None
+    if bq is not None or zq is not None:
+        if (apply_baq and zq is not None) or (not apply_baq
+                                              and bq is not None):
+            return None  # do nothing
+        q = qual.astype(np.int64)
+        if bq is not None and apply_baq:  # convert BQ to ZQ
+            tagq = np.frombuffer(bq.encode("latin-1"), np.uint8)[:l_qseq] \
+                .astype(np.int64)
+            newq = np.where(q + 64 < tagq, 0, q - (tagq - 64))
+            new_aux = _retag(new_aux, "BQ", "ZQ", bq)
+            return newq.astype(np.uint8), new_aux
+        if zq is not None and not apply_baq:  # convert ZQ to BQ
+            tagq = np.frombuffer(zq.encode("latin-1"), np.uint8)[:l_qseq] \
+                .astype(np.int64)
+            newq = q + (tagq - 64)
+            new_aux = _retag(new_aux, "ZQ", "BQ", zq)
+            return newq.astype(np.uint8), new_aux
+        return None
+
+    # find alignment extent
+    ops = (cigar & 0xF).astype(np.int64)
+    lens = (cigar >> 4).astype(np.int64)
+    x = pos
+    y = 0
+    xb = yb = xe = ye = -1
+    for op, ln in zip(ops, lens):
+        if op in (F.CMATCH, F.CEQUAL, F.CDIFF):
+            if yb < 0:
+                yb = y
+            if xb < 0:
+                xb = x
+            ye = y + ln
+            xe = x + ln
+            x += ln
+            y += ln
+        elif op in (F.CSOFT_CLIP, F.CINS):
+            y += ln
+        elif op == F.CDEL:
+            x += ln
+        elif op == F.CREF_SKIP:
+            return None
+    if xb < 0:
+        return None
+
+    bw = 7
+    if abs((xe - xb) - (ye - yb)) > bw:
+        bw = abs((xe - xb) - (ye - yb)) + 3
+    xb -= min(yb, xb)
+    xe += l_qseq - ye + bw // 2
+    if xe > ref_len:
+        xe = ref_len
+    if xe <= xb:
+        return None
+
+    query_int = NT16_INT[seq]
+    r = ref_nt16int[xb:xe]
+    state, bqv = probaln_glocal(r, query_int, qual.astype(np.int64), bw)
+    if state is None:
+        return None
+
+    bqv = bqv.copy()
+    x = pos
+    y = 0
+    for op, ln in zip(ops, lens):
+        if op in (F.CMATCH, F.CEQUAL, F.CDIFF):
+            ii = np.arange(y, y + ln)
+            bad = ((state[ii] & 3) != 0) | ((state[ii] >> 2)
+                                            != x - xb + (ii - y))
+            bqv[ii] = np.where(bad, 0, np.minimum(bqv[ii],
+                                                  qual[ii].astype(np.int64)))
+            if extend_baq:
+                left = np.maximum.accumulate(bqv[ii])
+                rght = np.maximum.accumulate(bqv[ii][::-1])[::-1]
+                bqv[ii] = np.minimum(left, rght)
+            x += ln
+            y += ln
+        elif op in (F.CSOFT_CLIP, F.CINS):
+            y += ln
+        elif op == F.CDEL:
+            x += ln
+
+    q64 = qual.astype(np.int64)
+    if extend_baq:
+        final_bq = 64 + np.where(q64 <= bqv, 0, q64 - bqv)
+    else:
+        final_bq = q64 - bqv + 64
+    tag_str = bytes(final_bq.astype(np.uint8)).decode("latin-1")
+    if apply_baq:
+        newq = q64 - (final_bq - 64)
+        new_aux = _append_tag(new_aux, "ZQ", tag_str)
+        return newq.astype(np.uint8), new_aux
+    new_aux = _append_tag(new_aux, "BQ", tag_str)
+    return qual, new_aux
+
+
+def _append_tag(aux: np.ndarray, tag: str, val: str) -> np.ndarray:
+    blob = tag.encode() + b"Z" + val.encode("latin-1") + b"\0"
+    return np.concatenate([np.asarray(aux, np.uint8),
+                           np.frombuffer(blob, np.uint8)])
+
+
+def _retag(aux: np.ndarray, old: str, new: str, val: str) -> np.ndarray:
+    out = auxmod.delete_tags(aux, {old})
+    return _append_tag(out, new, val)
+
+
+def apply_baq_batch(sub, ref: bytes, ref_len: int, redo: bool = False):
+    """Apply BAQ in place to a sub-batch on one contig (mplp_func order:
+    per read, flag 3 or 7)."""
+    if sub.n == 0:
+        return
+    from ..io.sam_text import NT16_LUT
+    refarr = np.frombuffer(ref, np.uint8)
+    ref_int = NT16_INT[NT16_LUT[refarr]]
+    flag = 7 if redo else 3
+    aux_parts = []
+    aux_changed = False
+    for i in range(sub.n):
+        qual = sub.qual[sub.seq_off[i]:sub.seq_off[i + 1]]
+        got = sam_prob_realn_single(
+            int(sub.pos[i]), sub.cigar_of(i), sub.seq_of(i), qual,
+            sub.aux_of(i), ref_int, ref_len, flag)
+        if got is None:
+            aux_parts.append(sub.aux_of(i))
+            continue
+        newq, new_aux = got
+        sub.qual[sub.seq_off[i]:sub.seq_off[i + 1]] = newq
+        aux_parts.append(np.asarray(new_aux, np.uint8))
+        aux_changed = True
+    if aux_changed:
+        new_off = np.zeros(sub.n + 1, np.int64)
+        for i, p in enumerate(aux_parts):
+            new_off[i + 1] = new_off[i] + len(p)
+        sub.aux = (np.concatenate(aux_parts).astype(np.uint8)
+                   if aux_parts else np.empty(0, np.uint8))
+        sub.aux_off = new_off
+
+
+def cap_mapq_batch(sub, ref: bytes, ref_len: int, thres: int) -> np.ndarray:
+    """sam_cap_mapq analog (htslib): recalibrate mapQ cap from mismatch
+    score vs reference.  Returns per-read capped quality (or -1 = drop)."""
+    from ..io.sam_text import NT16_LUT
+    refarr = np.frombuffer(ref, np.uint8)
+    ref_int = NT16_INT[NT16_LUT[refarr]]
+    out = np.zeros(sub.n, np.int64)
+    for i in range(sub.n):
+        out[i] = _cap_mapq_single(int(sub.pos[i]), sub.cigar_of(i),
+                                  sub.seq_of(i),
+                                  sub.qual[sub.seq_off[i]:sub.seq_off[i + 1]],
+                                  ref_int, ref_len, thres)
+    return out
+
+
+def _cap_mapq_single(pos, cigar, seq, qual, ref_int, ref_len, thres) -> int:
+    """htslib sam_cap_mapq: t = sum of quals of mismatches (capped 33);
+    then heuristic threshold formula."""
+    ops = (cigar & 0xF).astype(np.int64)
+    lens = (cigar >> 4).astype(np.int64)
+    x = pos
+    y = 0
+    mm = 0
+    t = 0.0
+    clip_l = clip_q = 0
+    for op, ln in zip(ops, lens):
+        if op in (F.CMATCH, F.CEQUAL, F.CDIFF):
+            for j in range(ln):
+                z = y + j
+                if x + j >= ref_len or z >= seq.size:
+                    break
+                c1 = NT16_INT[seq[z]]
+                c2 = ref_int[x + j]
+                if c1 != c2 and c1 < 4 and c2 < 4:
+                    mm += 1
+                    t += qual[z] if qual[z] < 33 else 33
+            x += ln
+            y += ln
+        elif op in (F.CSOFT_CLIP, F.CHARD_CLIP):
+            clip_l += 1
+            clip_q += 13 * ln
+            if op == F.CSOFT_CLIP:
+                y += ln
+        elif op == F.CINS:
+            y += ln
+        elif op in (F.CDEL, F.CREF_SKIP):
+            x += ln
+    if t > thres:
+        return -1
+    import math
+    t = 1.0 if t < 1.0 else t
+    t = math.sqrt(thres / t) * thres - t - 4.343 * math.lgamma(mm + 1)
+    del clip_l, clip_q
+    return int(t + 0.499) if t > 0 else 0

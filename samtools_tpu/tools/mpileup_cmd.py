@@ -1,0 +1,725 @@
+"""samtools mpileup — multi-file text pileup.
+
+Byte-parity target: /root/reference/bam_plcmd.c — pileup_seq grammar
+(:54-169), mplp_func read filters (:400-461), the -a/-aa empty-column
+logic (:610-660, :880-910), extra output columns (:727-855).
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from ..core import aux as auxmod
+from ..core import flags as F
+from ..core.regions import RegionError, parse_region
+from ..io import bed as bedmod
+from ..io import fasta as fastamod
+from ..io.files import read_alignments
+from ..ops import pileup as plops
+from .common import (GlobalArgs, UsageError, gnu_getopt, handle_global_opt,
+                     print_error, print_error_errno)
+from .flags_cmd import str2flag
+
+DEFAULT_FF = F.FUNMAP | F.FSECONDARY | F.FQCFAIL | F.FDUP
+
+# extra-column registry in output order (bam_plcmd.c flag bits 11..26)
+COL_MAPQ_CHAR = 1 << 11
+COL_QPOS = 1 << 12
+COL_QNAME = 1 << 13
+COL_FLAG = 1 << 14
+COL_RNAME = 1 << 15
+COL_POS = 1 << 16
+COL_MAPQ = 1 << 17
+COL_CIGAR = 1 << 18
+COL_RNEXT = 1 << 19
+COL_PNEXT = 1 << 20
+COL_TLEN = 1 << 21
+COL_SEQ = 1 << 22
+COL_QUAL = 1 << 23
+COL_RLEN = 1 << 24
+COL_MODS = 1 << 25
+COL_QPOS5 = 1 << 26
+COL_LAST = 1 << 27
+
+_NAMED_COLS = {  # --output-extra names -> flag (supported subset as ref)
+    "QNAME": COL_QNAME, "FLAG": COL_FLAG, "RNAME": COL_RNAME,
+    "POS": COL_POS, "MAPQ": COL_MAPQ, "RNEXT": COL_RNEXT,
+    "PNEXT": COL_PNEXT, "RLEN": COL_RLEN,
+}
+
+def _kputd(v: float) -> str:
+    """htslib kputd: shortest %g-like double rendering."""
+    s = "%g" % v
+    return s
+
+
+SEQ_LC = ",acmgrsvtwyhkdbn"
+SEQ_UC = ".ACMGRSVTWYHKDBN"
+NT16 = np.full(256, 15, np.uint8)
+for _i, _c in enumerate("=ACMGRSVTWYHKDBN"):
+    NT16[ord(_c)] = _i
+    NT16[ord(_c.lower())] = _i
+
+
+def usage(fp):
+    fp.write(
+        "Usage: samtools mpileup [options] in1.bam [in2.bam [...]]\n"
+        "\nInput options:\n"
+        "  -6, --illumina1.3+      quality is in the Illumina-1.3+ encoding\n"
+        "  -A, --count-orphans     do not discard anomalous read pairs\n"
+        "  -b, --bam-list FILE     list of input BAM filenames, one per line\n"
+        "  -B, --no-BAQ            disable BAQ (per-Base Alignment Quality)\n"
+        "  -C, --adjust-MQ INT     adjust mapping quality [0]\n"
+        "  -d, --max-depth INT     max per-file depth; avoids excessive memory usage [8000]\n"
+        "  -E, --redo-BAQ          recalculate BAQ on the fly, ignore existing BQs\n"
+        "  -f, --fasta-ref FILE    faidx indexed reference sequence file\n"
+        "  -G, --exclude-RG FILE   exclude read groups listed in FILE\n"
+        "  -l, --positions FILE    skip unlisted positions (chr pos) or regions (BED)\n"
+        "  -q, --min-MQ INT        skip alignments with mapQ smaller than INT [0]\n"
+        "  -Q, --min-BQ INT        skip bases with baseQ/BAQ smaller than INT [13]\n"
+        "  -r, --region REG        region in which pileup is generated\n"
+        "  -R, --ignore-RG         ignore RG tags (one BAM = one sample)\n"
+        "  --rf, --incl-flags STR|INT\n"
+        "                          required flags: include reads with any of the mask bits set []\n"
+        "  --ff, --excl-flags STR|INT\n"
+        "                          filter flags: skip reads with any of the mask bits set\n"
+        "                          [UNMAP,SECONDARY,QCFAIL,DUP]\n"
+        "  -x, --ignore-overlaps-removal, --disable-overlap-removal\n"
+        "                          disable read-pair overlap detection and removal\n"
+        "  -X, --customized-index  use customized index files\n"
+        "\nOutput options:\n"
+        "  -o, --output FILE       write output to FILE [standard output]\n"
+        "  -O, --output-BP         output base positions on reads, current orientation\n"
+        "  --output-BP-5           output base positions on reads, 5' to 3' orientation\n"
+        "  -M, --output-mods       output base modifications\n"
+        "  -s, --output-MQ         output mapping quality\n"
+        "  --output-QNAME          output read names\n"
+        "  --output-extra STR      output extra read fields and read tag values\n"
+        "  --output-sep CHAR       set the separator character for tag lists [,]\n"
+        "  --output-empty CHAR     set the no value character for tag lists [*]\n"
+        "  --no-output-ins         skip insertion sequence output\n"
+        "  --no-output-ins-mods    skip insertion base modifications\n"
+        "  --no-output-del         skip deletion sequence output\n"
+        "  --no-output-ends        remove the '^' and '$' markers\n"
+        "  --reverse-del           use '#' character for deletions on the reverse strand\n"
+        "  -a                      output all positions (including zero depth)\n"
+        "  -a -a (or -aa)          output absolutely all positions, including unused ref. sequences\n")
+
+
+class FileState:
+    """Per-input-file pileup state for one contig."""
+
+    def __init__(self, sub, pileup, entry_str, qual_chars, pass_q):
+        self.sub = sub
+        self.p = pileup
+        self.entry_str = entry_str
+        self.qual_chars = qual_chars
+        self.pass_q = pass_q
+        # column lookup
+        self.pos2col = {int(p): i for i, p in enumerate(pileup.col_pos)}
+
+
+def build_entry_strings(sub, p, ref: bytes | None, ref_len: int,
+                        conf) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized entry rendering: per entry the seq-string piece, the qual
+    char, and the min-BQ pass mask."""
+    n = p.n_entries
+    rev = (sub.flag[p.rid] & F.FREVERSE) != 0
+    lq = sub.l_qseq[p.rid]
+    have_base = p.qpos < lq
+    code = np.full(n, 15, np.int64)
+    hv = np.nonzero(have_base)[0]
+    code[hv] = sub.seq[sub.seq_off[p.rid[hv]] + p.qpos[hv]]
+    if ref is not None:
+        rb = np.full(n, 15, np.int64)
+        inref = p.pos < ref_len
+        refarr = np.frombuffer(ref, np.uint8)
+        rb[inref] = NT16[refarr[p.pos[inref]]]
+        code = np.where(code == rb, 0, code)
+    uc = np.frombuffer(SEQ_UC.encode(), np.uint8)
+    lc = np.frombuffer(SEQ_LC.encode(), np.uint8)
+    base_ch = np.where(rev, lc[code], uc[code]).astype(np.uint8)
+    # deletion / refskip chars
+    del_ch = np.where(p.is_refskip,
+                      np.where(rev, ord("<"), ord(">")),
+                      np.where(rev & bool(conf["rev_del"]),
+                               ord("#"), ord("*"))).astype(np.uint8)
+    ch = np.where(p.is_del, del_ch, base_ch)
+
+    # qual char + pass mask
+    qv = np.zeros(n, np.int64)
+    qv[hv] = sub.qual[sub.seq_off[p.rid[hv]] + p.qpos[hv]]
+    pass_q = qv >= conf["min_baseQ"]
+    qch = np.minimum(qv + 33, 126).astype(np.uint8)
+
+    # mapq char for ^ marker
+    mq = np.minimum(sub.mapq[p.rid].astype(np.int64) + 33, 126).astype(np.uint8)
+
+    # assemble per-entry strings (object array); vector fast-path for
+    # plain single-char entries
+    plain = (~p.is_head) & (~p.is_tail) & (p.indel == 0)
+    out = np.empty(n, object)
+    pl = np.nonzero(plain)[0]
+    chr_lut = [chr(i) for i in range(256)]
+    for i in pl:
+        out[i] = chr_lut[ch[i]]
+    no_ends = conf["no_ends"]
+    no_ins = conf["no_ins"]
+    no_del = conf["no_del"]
+    for i in np.nonzero(~plain)[0]:
+        s = []
+        if p.is_head[i] and not no_ends:
+            s.append("^")
+            s.append(chr_lut[mq[i]])
+        s.append(chr_lut[ch[i]])
+        ind = int(p.indel[i])
+        del_len = -ind
+        if ind > 0:
+            ins_str, del_after = p.ins.get(int(i), ("", 0))
+            del_len = del_after
+            if no_ins < 2:
+                s.append("+")
+                s.append(str(len(ins_str)))
+            if not no_ins:
+                if rev[i]:
+                    pad = "#" if conf["rev_del"] else "*"
+                    s.append("".join(pad if c == "*" else c.lower()
+                                     for c in ins_str))
+                else:
+                    s.append(ins_str.upper())
+        if del_len > 0:
+            if no_del < 2:
+                s.append(str(-del_len))
+            if not no_del:
+                refpart = []
+                for j in range(1, del_len + 1):
+                    pj = int(p.pos[i]) + j
+                    c = chr(ref[pj]) if (ref is not None and pj < ref_len) \
+                        else "N"
+                    refpart.append(c.lower() if rev[i] else c.upper())
+                s.append("".join(refpart))
+        if p.is_tail[i] and not no_ends:
+            s.append("$")
+        out[i] = "".join(s)
+    return out, qch, pass_q
+
+
+def _read_filter(f, conf, bedidx, header):
+    """mplp_func filter chain (minus per-read BAQ, applied separately)."""
+    b = f.batch
+    fl = b.flag.astype(np.int64)
+    keep = (b.tid >= 0) & ((fl & F.FUNMAP) == 0)
+    if conf["rflag_require"]:
+        keep &= (fl & conf["rflag_require"]) != 0
+    if conf["rflag_filter"]:
+        keep &= (fl & conf["rflag_filter"]) == 0
+    if bedidx is not None and conf["all"] == 0:
+        end = b.end_pos()
+        hit = np.zeros(b.n, bool)
+        for t in np.unique(b.tid[b.tid >= 0]):
+            m = np.nonzero(b.tid == t)[0]
+            hit[m] = bedidx.overlap(header.ref_names[t], b.pos[m], end[m])
+        keep &= hit
+    if conf["rghash"] is not None:
+        rg = auxmod.batch_tag_values(b, "RG")
+        keep &= np.array([not (v is not None and v in conf["rghash"])
+                          for v in rg], bool)
+    return keep
+
+
+def main_mpileup(argv: list[str]) -> int:
+    ga = GlobalArgs()
+    conf = dict(
+        min_mq=0, min_baseQ=13, capQ_thres=0, max_depth=8000,
+        rflag_require=0, rflag_filter=DEFAULT_FF,
+        no_orphan=True, realn=True, smart_overlaps=True, redo_baq=False,
+        illumina13=False, ignore_rg=False, all=0, rev_del=0,
+        sep=",", empty="*", no_ins=0, no_ins_mods=0, no_del=0, no_ends=0,
+        flag_cols=0, auxtags=[], rghash=None,
+    )
+    reg = None
+    bedidx = None
+    fai = None
+    out_fname = None
+    file_list = None
+    has_index_file = False
+    longopts = [
+        "rf=", "ff=", "incl-flags=", "excl-flags=", "output=",
+        "output-QNAME", "output-qname", "illumina1.3+", "count-orphans",
+        "bam-list=", "no-BAQ", "no-baq", "adjust-MQ=", "adjust-mq=",
+        "max-depth=", "redo-BAQ", "redo-baq", "fasta-ref=", "exclude-RG=",
+        "exclude-rg=", "positions=", "region=", "ignore-RG", "ignore-rg",
+        "min-MQ=", "min-mq=", "min-BQ=", "min-bq=",
+        "ignore-overlaps-removal", "disable-overlap-removal", "output-mods",
+        "output-BP", "output-bp", "output-BP-5", "output-bp-5", "output-MQ",
+        "output-mq", "customized-index", "reverse-del", "output-extra=",
+        "output-sep=", "output-empty=", "no-output-ins",
+        "no-output-ins-mods", "no-output-del", "no-output-ends",
+    ]
+    try:
+        opts, args = gnu_getopt(argv, "Af:r:l:q:Q:RC:Bd:b:o:EG:6OsxXaM",
+                                longopts)
+    except UsageError:
+        usage(sys.stderr)
+        return 1
+    for o, v in opts:
+        if o in ("-x", "--ignore-overlaps-removal",
+                 "--disable-overlap-removal"):
+            conf["smart_overlaps"] = False
+        elif o in ("--rf", "--incl-flags"):
+            conf["rflag_require"] = str2flag(v)
+        elif o in ("--ff", "--excl-flags"):
+            conf["rflag_filter"] = str2flag(v)
+        elif o in ("-o", "--output"):
+            out_fname = v
+        elif o in ("--output-QNAME", "--output-qname"):
+            conf["flag_cols"] |= COL_QNAME
+        elif o == "--reverse-del":
+            conf["rev_del"] = 1
+        elif o == "--output-extra":
+            for tag in v.split(","):
+                if tag in _NAMED_COLS:
+                    conf["flag_cols"] |= _NAMED_COLS[tag]
+                elif len(tag) == 2:
+                    conf["auxtags"].append(tag)
+                else:
+                    sys.stderr.write(
+                        f"[build_auxlist] tag '{tag}' has more than two "
+                        "characters or not supported\n")
+        elif o == "--output-sep":
+            conf["sep"] = v[0]
+        elif o == "--output-empty":
+            conf["empty"] = v[0]
+        elif o == "--no-output-ins":
+            conf["no_ins"] += 1
+        elif o == "--no-output-ins-mods":
+            conf["no_ins_mods"] = 1
+        elif o == "--no-output-del":
+            conf["no_del"] += 1
+        elif o == "--no-output-ends":
+            conf["no_ends"] = 1
+        elif o in ("-f", "--fasta-ref"):
+            try:
+                fai = fastamod.load_fasta(v)
+            except OSError as e:
+                print_error_errno("mpileup", 'Could not load fasta "%s"', v,
+                                  exc=e)
+                return 1
+        elif o in ("-d", "--max-depth"):
+            conf["max_depth"] = int(v)
+        elif o in ("-r", "--region"):
+            reg = v
+        elif o in ("-l", "--positions"):
+            try:
+                bedidx = bedmod.read_bed(v)
+            except OSError as e:
+                print_error_errno("mpileup", 'Could not read file "%s"', v,
+                                  exc=e)
+                return 1
+        elif o in ("-B", "--no-BAQ", "--no-baq"):
+            conf["realn"] = False
+        elif o == "-X":
+            has_index_file = True
+        elif o in ("-E", "--redo-BAQ", "--redo-baq"):
+            conf["redo_baq"] = True
+        elif o in ("-6", "--illumina1.3+"):
+            conf["illumina13"] = True
+        elif o in ("-R", "--ignore-RG", "--ignore-rg"):
+            conf["ignore_rg"] = True
+        elif o in ("-s", "--output-MQ", "--output-mq"):
+            conf["flag_cols"] |= COL_MAPQ_CHAR
+        elif o in ("-O", "--output-BP", "--output-bp"):
+            conf["flag_cols"] |= COL_QPOS
+        elif o == "--output-BP-5":
+            conf["flag_cols"] |= COL_QPOS5
+        elif o in ("-M", "--output-mods"):
+            conf["flag_cols"] |= COL_MODS
+        elif o in ("-C", "--adjust-MQ", "--adjust-mq"):
+            conf["capQ_thres"] = int(v)
+        elif o in ("-q", "--min-MQ", "--min-mq"):
+            conf["min_mq"] = int(v)
+        elif o in ("-Q", "--min-BQ", "--min-bq"):
+            conf["min_baseQ"] = int(v)
+        elif o in ("-b", "--bam-list"):
+            file_list = v
+        elif o in ("-A", "--count-orphans"):
+            conf["no_orphan"] = False
+        elif o in ("-G", "--exclude-RG", "--exclude-rg"):
+            conf["rghash"] = set()
+            try:
+                for line in open(v):
+                    for word in line.split():
+                        conf["rghash"].add(word)
+            except OSError:
+                sys.stderr.write(
+                    f"[bam_mpileup] Fail to open file {v}. Continue anyway.\n")
+        elif o == "-a":
+            conf["all"] += 1
+        elif handle_global_opt(ga, o, v):
+            pass
+        else:
+            usage(sys.stderr)
+            return 1
+
+    if fai is None and ga.reference:
+        try:
+            fai = fastamod.load_fasta(ga.reference)
+        except OSError:
+            return 1
+    if not conf["realn"] and conf["redo_baq"]:
+        sys.stderr.write("Error: The -B option cannot be combined with -E\n")
+        return 1
+    if not argv:
+        usage(sys.stderr)
+        return 1
+    if file_list:
+        with open(file_list) as fh:
+            args = [l.strip() for l in fh if l.strip()]
+    elif has_index_file:
+        nfiles = len(args) // 2
+        args = args[:nfiles]
+    if not args:
+        sys.stderr.write("[mpileup] no input file/data given\n")
+        return 1
+
+    files = []
+    for path in args:
+        try:
+            files.append(read_alignments(path, threads=ga.nthreads))
+        except OSError as e:
+            sys.stderr.write(f"[mpileup] failed to open {path}: "
+                             f"{e.strerror}\n")
+            return 1
+    header = files[0].header
+    n_samples = _count_samples(files, args, conf)
+    sys.stderr.write(f"[mpileup] {n_samples} samples in {len(files)} "
+                     "input files\n")
+
+    region = None
+    if reg:
+        try:
+            region = parse_region(reg, header.tid)
+        except RegionError:
+            sys.stderr.write(f"[E::mpileup] fail to parse region '{reg}'\n")
+            return 1
+
+    out = open(out_fname, "w") if out_fname else sys.stdout
+    rc = _run_pileup(files, args, header, conf, region, bedidx, fai, out)
+    if out is not sys.stdout:
+        out.close()
+    return rc
+
+
+def _count_samples(files, paths, conf) -> int:
+    """bam_smpl_add semantics: one sample per distinct SM (RG ID when SM
+    missing; file name when no RG / ignore-RG)."""
+    samples = set()
+    for f, path in zip(files, paths):
+        if conf["ignore_rg"]:
+            samples.add(path)
+            continue
+        rgs = f.header.rg_to_sample()
+        if rgs:
+            samples.update(rgs.values())
+        else:
+            samples.add(path)
+    return len(samples)
+
+
+def _empty_row(name: str, pos: int, ref: bytes | None, ref_len: int,
+               nf: int, conf) -> str:
+    refc = chr(ref[pos]) if (ref is not None and pos < ref_len) else "N"
+    cols = []
+    fv = COL_MAPQ_CHAR
+    while fv < COL_LAST:
+        if fv != COL_MODS and (conf["flag_cols"] & fv):
+            cols.append("\t*")
+        fv <<= 1
+    cols.extend("\t*" for _ in conf["auxtags"])
+    percol = "\t0\t*\t*" + "".join(cols)
+    return f"{name}\t{pos + 1}\t{refc}" + percol * nf + "\n"
+
+
+def _run_pileup(files, paths, header, conf, region, bedidx, fai, out) -> int:
+    nf = len(files)
+    # per-file read selection
+    selections = []
+    for f in files:
+        keep = _read_filter(f, conf, bedidx, header)
+        selections.append(keep)
+
+    # determine contig set (in tid order)
+    tids = set()
+    for f, keep in zip(files, selections):
+        tids.update(np.unique(f.batch.tid[keep & (f.batch.tid >= 0)])
+                    .tolist())
+    if region is not None:
+        tids = {region.tid} if region.tid in tids or True else tids
+        tids = {region.tid}
+    tid_list = sorted(tids)
+
+    beg0 = region.beg if region else 0
+    end0 = region.end if region else (1 << 62)
+
+    last_tid = -1
+    last_pos = -1
+    ref_cache = {}
+    one_seq = False
+
+    def get_ref(tid):
+        if fai is None:
+            return None, 0
+        if tid in ref_cache:
+            return ref_cache[tid]
+        name = header.ref_names[tid]
+        if fai.has(name):
+            seq = fai.fetch(name)
+            got = (seq, len(seq))
+        else:
+            got = (None, 0)
+        if len(ref_cache) > 3:
+            ref_cache.clear()
+        ref_cache[tid] = got
+        return got
+
+    w = out.write
+    ref, ref_len = None, 0
+
+    for tid in tid_list:
+        name = header.ref_names[tid]
+        # assemble per-file states for this contig
+        states = []
+        for f, keep in zip(files, selections):
+            b = f.batch
+            sel = np.nonzero(keep & (b.tid == tid))[0]
+            if region is not None and sel.size:
+                end = b.end_pos()
+                sel = sel[(b.pos[sel] < region.end)
+                          & (end[sel] > region.beg)]
+            sub = b.take(sel)
+            states.append(_prepare_file_state(sub, conf, tid, get_ref,
+                                              files, f))
+        # merged column positions
+        col_sets = [s.p.col_pos for s in states if s.p.n_entries]
+        if not col_sets:
+            continue
+        allpos = np.unique(np.concatenate(col_sets))
+        if region is not None:
+            allpos = allpos[(allpos >= beg0) & (allpos < end0)]
+        if allpos.size == 0:
+            continue
+        one_seq = True
+
+        # -a: fill previous tids
+        if conf["all"]:
+            while tid > last_tid:
+                if last_tid >= 0 and region is None:
+                    r, rl = get_ref(last_tid)
+                    lname = header.ref_names[last_tid]
+                    for pp in range(last_pos + 1,
+                                    header.ref_lens[last_tid]):
+                        if bedidx is not None and not bedidx.overlap_one(
+                                lname, pp, pp + 1):
+                            continue
+                        w(_empty_row(lname, pp, r, rl, nf, conf))
+                last_tid += 1
+                last_pos = -1
+                if conf["all"] < 2:
+                    break
+        ref, ref_len = get_ref(tid)
+        last_tid = tid
+
+        for pos in allpos.tolist():
+            if conf["all"]:
+                r0 = last_pos + 1
+                for pp in range(r0, pos):
+                    if region is not None and pp < beg0:
+                        continue
+                    if bedidx is not None and not bedidx.overlap_one(
+                            name, pp, pp + 1):
+                        continue
+                    w(_empty_row(name, pp, ref, ref_len, nf, conf))
+                last_pos = pos
+            if bedidx is not None and not bedidx.overlap_one(name, pos,
+                                                             pos + 1):
+                continue
+            refc = chr(ref[pos]) if (ref is not None and pos < ref_len) \
+                else "N"
+            row = [name, "\t", str(pos + 1), "\t", refc]
+            for s in states:
+                _append_file_column(row, s, pos, conf, header)
+            row.append("\n")
+            w("".join(row))
+
+    # -a tail
+    if conf["all"]:
+        if last_tid < 0 and region is not None and conf["all"] > 1:
+            last_tid = region.tid
+            last_pos = beg0 - 1
+        elif last_tid < 0 and not one_seq and conf["all"] > 1:
+            last_tid = 0
+        while 0 <= last_tid < header.n_refs:
+            r, rl = get_ref(last_tid)
+            lname = header.ref_names[last_tid]
+            stop = min(header.ref_lens[last_tid], end0)
+            for pp in range(last_pos + 1, header.ref_lens[last_tid]):
+                if pp >= end0:
+                    break
+                if bedidx is not None and not bedidx.overlap_one(
+                        lname, pp, pp + 1):
+                    continue
+                w(_empty_row(lname, pp, r, rl, nf, conf))
+            del stop
+            last_tid += 1
+            last_pos = -1
+            if conf["all"] < 2 or region is not None:
+                break
+    return 0
+
+
+def _prepare_file_state(sub, conf, tid, get_ref, files, f) -> FileState:
+    # quality transforms
+    if conf["illumina13"]:
+        q = sub.qual.astype(np.int64)
+        sub.qual = np.where(q > 31, q - 31, 0).astype(np.uint8)
+    ref, ref_len = get_ref(tid)
+    if ref is not None and conf["realn"]:
+        from ..ops import baq
+        baq.apply_baq_batch(sub, ref, ref_len, redo=conf["redo_baq"])
+    if ref is not None and conf["capQ_thres"] > 10:
+        from ..ops import baq
+        newq = baq.cap_mapq_batch(sub, ref, ref_len, conf["capQ_thres"])
+        drop = newq < 0
+        sub.mapq = np.where(newq >= 0,
+                            np.minimum(sub.mapq, newq),
+                            sub.mapq).astype(np.uint8)
+        if drop.any():
+            sub = sub.take(np.nonzero(~drop)[0])
+    # min mapq / orphan filters come after BAQ/capQ (mplp_func order)
+    keep = sub.mapq.astype(np.int64) >= conf["min_mq"]
+    if conf["no_orphan"]:
+        fl = sub.flag.astype(np.int64)
+        keep &= ~(((fl & F.FPAIRED) != 0) & ((fl & F.FPROPER_PAIR) == 0))
+    sub = sub.take(np.nonzero(keep)[0])
+    if conf["max_depth"] and sub.n > conf["max_depth"]:
+        sub = sub.take(_depth_cap_select(sub, conf["max_depth"]))
+    if conf["smart_overlaps"]:
+        from ..ops import overlaps
+        overlaps.tweak_overlaps(sub)
+    p = plops.build_pileup(sub)
+    entry_str, qual_chars, pass_q = build_entry_strings(
+        sub, p, ref, ref_len, conf)
+    return FileState(sub, p, entry_str, qual_chars, pass_q)
+
+
+def _depth_cap_select(sub, maxcnt: int) -> np.ndarray:
+    """Per-file depth cap (bam_mplp_set_maxcnt semantics,
+    /root/reference/bam_plcmd.c:597): a read is dropped at insertion when
+    the buffer already holds maxcnt reads overlapping its start."""
+    import heapq
+    ends = sub.end_pos()
+    keep = []
+    active: list[int] = []
+    for i in range(sub.n):
+        p = int(sub.pos[i])
+        while active and active[0] <= p:
+            heapq.heappop(active)
+        if len(active) >= maxcnt:
+            continue
+        keep.append(i)
+        heapq.heappush(active, int(ends[i]))
+    return np.array(keep, np.int64)
+
+
+def _append_file_column(row, s: FileState, pos: int, conf, header):
+    ci = s.pos2col.get(pos)
+    if ci is None:
+        row.append("\t0\t*\t*")
+        fv = COL_MAPQ_CHAR
+        while fv < COL_LAST:
+            if fv != COL_MODS and (conf["flag_cols"] & fv):
+                row.append("\t*")
+            fv <<= 1
+        for _ in conf["auxtags"]:
+            row.append("\t*")
+        return
+    lo, hi = s.p.col_off[ci], s.p.col_off[ci + 1]
+    idx = np.arange(lo, hi)
+    passing = idx[s.pass_q[lo:hi]]
+    cnt = passing.size
+    row.append("\t")
+    row.append(str(cnt))
+    row.append("\t")
+    if cnt:
+        row.append("".join(s.entry_str[i] for i in passing))
+        row.append("\t")
+        row.append(bytes(s.qual_chars[passing]).decode("latin-1"))
+    else:
+        row.append("*\t*")
+    # extra columns
+    fv = COL_MAPQ_CHAR
+    while fv < COL_LAST:
+        if fv != COL_MODS and (conf["flag_cols"] & fv):
+            row.append("\t")
+            vals = []
+            for i in passing:
+                rid = int(s.p.rid[i])
+                if fv == COL_MAPQ_CHAR:
+                    vals.append(chr(min(int(s.sub.mapq[rid]) + 33, 126)))
+                elif fv == COL_QPOS:
+                    vals.append(str(int(s.p.qpos[i]) + 1))
+                elif fv == COL_QPOS5:
+                    if s.sub.flag[rid] & F.FREVERSE:
+                        vals.append(str(int(s.sub.l_qseq[rid])
+                                        - int(s.p.qpos[i])
+                                        + int(s.p.is_del[i])))
+                    else:
+                        vals.append(str(int(s.p.qpos[i]) + 1))
+                elif fv == COL_QNAME:
+                    vals.append(s.sub.qname_str(rid))
+                elif fv == COL_FLAG:
+                    vals.append(str(int(s.sub.flag[rid])))
+                elif fv == COL_RNAME:
+                    t = int(s.sub.tid[rid])
+                    vals.append(header.ref_name(t) if t >= 0 else "*")
+                elif fv == COL_POS:
+                    vals.append(str(int(s.sub.pos[rid]) + 1))
+                elif fv == COL_MAPQ:
+                    vals.append(str(int(s.sub.mapq[rid])))
+                elif fv == COL_RNEXT:
+                    t = int(s.sub.mtid[rid])
+                    vals.append(header.ref_name(t) if t >= 0 else "*")
+                elif fv == COL_PNEXT:
+                    vals.append(str(int(s.sub.mpos[rid]) + 1))
+                elif fv == COL_RLEN:
+                    vals.append(str(int(s.sub.l_qseq[rid])))
+            if not vals:
+                row.append("*")
+            elif fv == COL_MAPQ_CHAR:
+                row.append("".join(vals))
+            else:
+                row.append(",".join(vals))
+        fv <<= 1
+    for tag in conf["auxtags"]:
+        row.append("\t")
+        vals = []
+        for i in passing:
+            rid = int(s.p.rid[i])
+            got = auxmod.get_value(s.sub.aux_of(rid), tag)
+            if got is None:
+                vals.append(conf["empty"])
+                continue
+            t, v = got
+            if t in "ZH":
+                vals.append(str(v))
+            elif t in "IiCcSs":
+                vals.append(str(v))
+            elif t in "df":
+                vals.append(_kputd(v))
+            elif t == "A":
+                vals.append(str(v))
+            else:
+                vals.append("*")
+        row.append(conf["sep"].join(vals) if vals else "*")

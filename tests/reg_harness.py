@@ -45,6 +45,9 @@ def _env():
 def run_reg(reg_path: str, workdir: str, formats=("sam", "bam"),
             cmd_filter=None, skip_substrings=()) -> RegResult:
     src_dir = os.path.dirname(os.path.abspath(reg_path))
+    suite = os.path.basename(src_dir)
+    root_dir = workdir
+    workdir = os.path.join(workdir, suite)
     os.makedirs(workdir, exist_ok=True)
     for entry in os.listdir(src_dir):
         s = os.path.join(src_dir, entry)
@@ -53,8 +56,12 @@ def run_reg(reg_path: str, workdir: str, formats=("sam", "bam"),
             shutil.copy(s, d)
         elif os.path.isdir(s) and not os.path.exists(d):
             shutil.copytree(s, d)
-    os.chmod(workdir, 0o755)
-    for root, dirs, fns in os.walk(workdir):
+    # sibling fixture dir referenced as ../dat by some suites
+    dat_src = os.path.join(os.path.dirname(src_dir), "dat")
+    dat_dst = os.path.join(root_dir, "dat")
+    if os.path.isdir(dat_src) and not os.path.exists(dat_dst):
+        shutil.copytree(dat_src, dat_dst)
+    for root, dirs, fns in os.walk(root_dir):
         for x in dirs:
             os.chmod(os.path.join(root, x), 0o755)
         for x in fns:
@@ -75,7 +82,7 @@ def run_reg(reg_path: str, workdir: str, formats=("sam", "bam"),
             continue
         fmts = formats if "$fmt" in cmd else (None,)
         for fmt in fmts:
-            c = cmd.replace("$samtools", SAMTOOLS)
+            c = cmd.replace("$samtools", SAMTOOLS).replace("$awk", "awk")
             if fmt is not None:
                 c = c.replace("$fmt", fmt)
             if any(s in c for s in skip_substrings):

@@ -22,7 +22,19 @@ def _assert_clean(res):
 
 
 def test_depth_reg(tmp_path):
-    res = run_reg(f"{MPILEUP_DIR}/depth.reg", str(tmp_path),
-                  cmd_filter=lambda c: "mpileup" not in c)
+    res = run_reg(f"{MPILEUP_DIR}/depth.reg", str(tmp_path))
     _assert_clean(res)
-    assert len(res.passed) >= 41
+    assert len(res.passed) >= 55
+
+
+# failures tracked in KNOWN_ISSUES.md: BAQ read-start numerics (2 cmds),
+# overlap-tweak orientation on 2 of 5 pairs (6 cmds), base-mods (2 cmds)
+KNOWN_MPILEUP_FAILS = 11
+
+
+def test_mpileup_reg(tmp_path):
+    res = run_reg(f"{MPILEUP_DIR}/mpileup.reg", str(tmp_path),
+                  formats=("bam",), skip_substrings=(".cram", "-C "))
+    assert len(res.passed) >= 87, res.summary()
+    assert len(res.failed) <= KNOWN_MPILEUP_FAILS, "\n".join(
+        f[0] for f in res.failed)
