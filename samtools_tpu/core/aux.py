@@ -175,7 +175,9 @@ def sam_field_to_aux(field: str) -> bytes:
     val = field[5:]
     if t == "A":
         return tag + b"A" + val[:1].encode("latin-1")
-    if t == "i":
+    if t in "iIcCsS":
+        # SAM text ints may carry any integer type letter; htslib stores
+        # the smallest fitting type and renders back as 'i'
         tc, fmt = _best_int_type(int(val))
         return tag + tc.encode() + struct.pack(fmt, int(val))
     if t == "f":

@@ -1,0 +1,197 @@
+"""samtools sort — whole-batch ordering.
+
+Reference: bam_sort.c.  The external merge sort (arena + spill + k-way
+heap) collapses to one stable lexsort over the columnar batch; the
+reference's tie-break by input record index is exactly lexsort stability.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from .. import SAMTOOLS_PARITY_VERSION
+from ..io.files import infer_output_format, read_alignments, write_alignments
+from ..ops import sort_keys as sk
+from .common import (GlobalArgs, UsageError, gnu_getopt, handle_global_opt,
+                     print_error, print_error_errno)
+
+
+def usage(fp):
+    fp.write(
+        "Usage: samtools sort [options...] [in.bam]\n"
+        "Options:\n"
+        "  -l INT     Set compression level, from 0 (uncompressed) to 9 (best)\n"
+        "  -u         Output uncompressed data (equivalent to -l 0)\n"
+        "  -m INT     Set maximum memory per thread; suffix K/M/G recognized [768M]\n"
+        "  -M         Use minimiser for clustering unaligned/unplaced reads\n"
+        "  -R         Do not use reverse strand (only compatible with -M)\n"
+        "  -K INT     Kmer size to use for minimiser [20]\n"
+        "  -I FILE    Order minimisers by their position in FILE fasta\n"
+        "  -w INT     Window size for minimiser indexing via -I ref.fa [100]\n"
+        "  -H         Squash homopolymers when computing minimiser\n"
+        "  -n         Sort by read name (natural): cannot be used with samtools index\n"
+        "  -N         Sort by read name (ASCII): cannot be used with samtools index\n"
+        "  -t TAG     Sort by value of TAG. Uses position as secondary index (or read name if -n is set)\n"
+        "  -o FILE    Write final output to FILE rather than standard output\n"
+        "  -T PREFIX  Write temporary files to PREFIX.nnnn.bam\n"
+        "  --no-PG\n"
+        "               Do not add a PG line\n"
+        "      --template-coordinate\n"
+        "               Sort by template-coordinate\n")
+
+
+def sort_header(header, order: str, natural: bool, tag: str | None,
+                mapped: bool):
+    """set_sort_order (bam_sort.c:3270): stamp @HD SO/SS/GO."""
+    if order == "coordinate":
+        return header.ensure_hd_so("coordinate")
+    if order == "queryname":
+        ss = "queryname:natural" if natural else "queryname:lexicographical"
+        return header.ensure_hd_so("queryname", subsort=ss)
+    if order == "tag":
+        sec = ("queryname:natural" if natural else
+               "queryname:lexicographical") if order_tag_secondary else \
+            "coordinate"
+        return header.ensure_hd_so("unsorted", subsort=f"unsorted:{tag}:{sec}")
+    if order == "template-coordinate":
+        h = header.ensure_hd_so("unsorted",
+                                subsort="unsorted:template-coordinate")
+        return _set_go(h, "query")
+    if order == "minhash":
+        if mapped:
+            return header.ensure_hd_so("coordinate",
+                                       subsort="coordinate:minhash")
+        return header.ensure_hd_so("unsorted", subsort="unsorted:minhash")
+    return header
+
+
+order_tag_secondary = False  # set when -n given with -t
+
+
+def _set_go(header, go: str):
+    lines = header.text.split("\n")
+    for i, line in enumerate(lines):
+        if line.startswith("@HD"):
+            fields = [f for f in line.split("\t") if not f.startswith("GO:")]
+            # GO goes after SO (htslib tag order: VN SO GO SS)
+            out = []
+            inserted = False
+            for f in fields:
+                out.append(f)
+                if f.startswith("SO:"):
+                    out.append("GO:" + go)
+                    inserted = True
+            if not inserted:
+                out.append("GO:" + go)
+            # move SS after GO if present
+            ss = [f for f in out if f.startswith("SS:")]
+            if ss:
+                out = [f for f in out if not f.startswith("SS:")] + ss
+            lines[i] = "\t".join(out)
+            break
+    return header.with_text("\n".join(lines))
+
+
+def main_sort(argv: list[str]) -> int:
+    global order_tag_secondary
+    ga = GlobalArgs()
+    order = "coordinate"
+    natural = True
+    by_tag = None
+    fn_out = None
+    level = 6
+    no_pg = False
+    o_seen = False
+    try:
+        opts, args = gnu_getopt(argv, "l:m:no:O:T:@:t:MNK:I:R:w:Hu",
+                                ["no-PG", "template-coordinate"])
+    except UsageError:
+        usage(sys.stderr)
+        return 1
+    name_seen = False
+    for o, v in opts:
+        if o == "-o":
+            fn_out = v
+            o_seen = True
+        elif o == "-N":
+            natural = False
+            order = "queryname"
+            name_seen = True
+        elif o == "-n":
+            order = "queryname"
+            name_seen = True
+        elif o == "-t":
+            by_tag = v
+        elif o == "-m":
+            pass  # memory cap: whole batch is in memory here
+        elif o == "-T":
+            pass
+        elif o == "-l":
+            level = int(v)
+        elif o == "-u":
+            level = 0
+        elif o == "-M":
+            order = "minhash"
+        elif o in ("-K", "-I", "-R", "-w", "-H"):
+            pass  # minimiser tuning (minhash order not yet implemented)
+        elif o == "--template-coordinate":
+            order = "template-coordinate"
+        elif o == "--no-PG":
+            no_pg = True
+        elif handle_global_opt(ga, o, v, short_outfmt="-O"):
+            pass
+        else:
+            usage(sys.stderr)
+            return 1
+    if by_tag is not None:
+        order_tag_secondary = order == "queryname"
+        order = "tag"
+    if len(args) > 1:
+        # obsolete "sort in.bam out.prefix" invocation must fail
+        print_error("sort", "too many arguments. The output name should be "
+                    "given via -o instead")
+        return 1
+    del o_seen
+    fn_in = args[0] if args else "-"
+
+    try:
+        f = read_alignments(fn_in, threads=ga.nthreads)
+    except OSError as e:
+        print_error_errno("sort", 'can\'t open "%s"', fn_in, exc=e)
+        return 1
+    b = f.batch
+
+    if order == "coordinate":
+        idx = sk.coordinate_order(b)
+    elif order == "queryname":
+        idx = sk.queryname_order(b, natural)
+    elif order == "tag":
+        idx = sk.tag_order(b, by_tag, name_seen, natural)
+    elif order == "template-coordinate":
+        try:
+            idx = sk.template_coordinate_order(b, f.header)
+        except ValueError as e:
+            sys.stderr.write(f"[bam_sort] error: {e}\n")
+            return 1
+    elif order == "minhash":
+        print_error("sort", "minimiser sort is not implemented yet")
+        return 1
+    else:
+        idx = np.arange(b.n)
+
+    out = b.take(idx)
+    mapped = bool((b.tid >= 0).any())
+    header = sort_header(f.header, order, natural, by_tag, mapped)
+    if not no_pg:
+        cl = "samtools sort " + " ".join(argv) if argv else "samtools sort"
+        header = header.add_pg_line("samtools", "samtools", cl,
+                                    SAMTOOLS_PARITY_VERSION)
+    fmt = infer_output_format(fn_out, ga.out_fmt, "bam")
+    write_alignments(fn_out, header, out, fmt=fmt, threads=ga.nthreads,
+                     level=level, include_header=True)
+    if ga.write_index and fn_out and fmt == "bam":
+        from .index_cmd import build_index_for
+        build_index_for(fn_out, None, False, 14, ga.nthreads)
+    return 0

@@ -1,0 +1,86 @@
+"""sort/fixmate golden parity (test.pl-style, @PG lines ignored)."""
+
+import contextlib
+import io
+import os
+import subprocess
+import sys
+
+import pytest
+
+R = "/root/reference/test"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cli(args):
+    env = dict(os.environ, SAMTPU_PLATFORM="cpu", JAX_PLATFORMS="cpu",
+               PYTHONPATH=REPO)
+    p = subprocess.run([sys.executable, "-m", "samtools_tpu"] + args,
+                       capture_output=True, env=env)
+    return p.returncode, p.stdout.decode("latin-1")
+
+
+def _no_pg(text: str):
+    return [l for l in text.splitlines() if not l.startswith("@PG")]
+
+
+SORT_CASES = [
+    ("pos", ["-m", "10M", f"{R}/dat/test_input_1_a.bam"]),
+    ("name", ["-n", "-m", "10M", f"{R}/dat/test_input_1_a.bam"]),
+    ("name2", ["-N", "-m", "10M", f"{R}/dat/test_input_1_b.bam"]),
+    ("name3", ["-n", "-m", "10M", f"{R}/dat/sort_name_input_1.sam"]),
+    ("tag.rg", ["-t", "RG", "-m", "10M", f"{R}/dat/test_input_1_a.bam"]),
+    ("tag.rg.n", ["-n", "-t", "RG", "-m", "10M",
+                  f"{R}/dat/test_input_1_a.bam"]),
+    ("tag.as", ["-t", "AS", "-m", "10M", f"{R}/dat/test_input_1_d.sam"]),
+    ("tag.fi", ["-t", "FI", "-m", "10M", f"{R}/dat/test_input_1_d.sam"]),
+    ("template-coordinate", ["--template-coordinate", "-m", "10M",
+                             f"{R}/sort/template-coordinate.sort.sam"]),
+    ("template-coordinate.cell-barcode",
+     ["--template-coordinate", "-m", "10M",
+      f"{R}/sort/template-coordinate.cell-barcode.sort.sam"]),
+    ("template-coordinate-hardclip",
+     ["--template-coordinate", "-m", "10M",
+      f"{R}/sort/template-coordinate-hardclip.sort.sam"]),
+]
+
+
+@pytest.mark.parametrize("name,args", SORT_CASES,
+                         ids=[c[0] for c in SORT_CASES])
+def test_sort_golden(name, args):
+    rc, out = run_cli(["sort"] + args + ["-O", "SAM", "-o", "-"])
+    want = open(f"{R}/sort/{name}.sort.expected.sam").read()
+    assert rc == 0
+    assert _no_pg(out) == _no_pg(want)
+
+
+def test_sort_obsolete_invocation_fails():
+    rc, _ = run_cli(["sort", f"{R}/dat/test_input_1_a.bam", "/tmp/prefix"])
+    assert rc != 0
+
+
+FIXMATE_CASES = [
+    ("2_isize_overflow", ["-z", "off"]),
+    ("3_reverse_read_pp_lt", []),
+    ("4_reverse_read_pp_equal", []),
+    ("5_ct", ["-c"]),
+    ("6_ct_replace", ["-c"]),
+    ("7_two_read_mapped", ["-z", "off"]),
+    ("sanitize", []),
+]
+
+
+@pytest.mark.parametrize("name,extra", FIXMATE_CASES,
+                         ids=[c[0] for c in FIXMATE_CASES])
+def test_fixmate_golden(name, extra):
+    rc, out = run_cli(["fixmate"] + extra
+                      + ["-O", "sam", f"{R}/fixmate/{name}.sam", "-"])
+    want = open(f"{R}/fixmate/{name}.sam.expected").read()
+    assert rc == 0
+    assert _no_pg(out) == _no_pg(want)
+
+
+def test_fixmate_rejects_coord_sorted():
+    rc, _ = run_cli(["fixmate", "-O", "sam",
+                     f"{R}/fixmate/1_coord_sort.sam", "-"])
+    assert rc != 0
