@@ -222,6 +222,33 @@ def keep_tags(buf: np.ndarray, tags: set[str]) -> np.ndarray:
     return np.concatenate(keep)
 
 
+def update_str_tag(buf: np.ndarray, tag: str, value: str) -> np.ndarray:
+    """htslib bam_aux_update_str semantics: replace an existing tag in
+    place (preserving its position) or append at the end."""
+    blob = np.frombuffer(tag.encode() + b"Z" + value.encode("latin-1")
+                         + b"\0", np.uint8)
+    span = find_tag(buf, tag)
+    if span is None:
+        return np.concatenate([np.asarray(buf, np.uint8), blob])
+    s, e = span
+    return np.concatenate([np.asarray(buf[:s], np.uint8), blob,
+                           np.asarray(buf[e:], np.uint8)])
+
+
+def update_int_tag(buf: np.ndarray, tag: str, value: int) -> np.ndarray:
+    """bam_aux_update_int analog (smallest fitting type; replaces in
+    place)."""
+    tc, fmt = _best_int_type(int(value))
+    blob = np.frombuffer(tag.encode() + tc.encode()
+                         + struct.pack(fmt, int(value)), np.uint8)
+    span = find_tag(buf, tag)
+    if span is None:
+        return np.concatenate([np.asarray(buf, np.uint8), blob])
+    s, e = span
+    return np.concatenate([np.asarray(buf[:s], np.uint8), blob,
+                           np.asarray(buf[e:], np.uint8)])
+
+
 # ----------------------------------------------------------- batch helpers
 
 def batch_tag_values(batch, tag: str):
