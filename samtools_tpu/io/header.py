@@ -44,6 +44,22 @@ class SamHeader:
                         h.ref_names.append(name)
                         h.ref_lens.append(ln)
         h._name2tid = {n: i for i, n in enumerate(h.ref_names)}
+        # @SQ AN: alternative names resolve to the same tid (htslib
+        # sam_hdr_name2tid alias behavior); primaries take precedence
+        for line in text.splitlines():
+            if not line.startswith("@SQ"):
+                continue
+            name = None
+            alts = []
+            for f2 in line.split("\t")[1:]:
+                if f2.startswith("SN:"):
+                    name = f2[3:]
+                elif f2.startswith("AN:"):
+                    alts = f2[3:].split(",")
+            if name is not None and name in h._name2tid:
+                tid = h._name2tid[name]
+                for a in alts:
+                    h._name2tid.setdefault(a, tid)
         return h
 
     # --------------------------------------------------------------- access

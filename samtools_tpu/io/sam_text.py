@@ -77,7 +77,8 @@ def parse_sam(text: bytes | str,
     if header_text:
         header_text += "\n"
     header = SamHeader.from_text(header_text, ref_names, ref_lens)
-    tid_map = {n: i for i, n in enumerate(header.ref_names)}
+    # alias-aware (includes @SQ AN names)
+    tid_map = dict(header._name2tid)
     infer = not tid_map
 
     n = len(rows)
