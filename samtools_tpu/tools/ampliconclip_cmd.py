@@ -42,9 +42,12 @@ class BedEntry:
         self.num_reads = 0
 
 
-def load_bed_multi_ref(path: str, get_strand: bool):
-    """BED -> {ref: sorted [BedEntry]} + per-ref longest + ref order
-    (bam_ampliconclip.c:76-256)."""
+def load_bed_multi_ref(path: str, get_strand: bool,
+                       sort_by_pos: bool = True):
+    """BED -> {ref: [BedEntry]} + per-ref longest + ref order
+    (bam_ampliconclip.c:76-256).  Entries sorted by right coordinate
+    when sort_by_pos (ampliconclip); file order otherwise
+    (ampliconstats)."""
     lists: dict[str, list[BedEntry]] = {}
     longest: dict[str, int] = {}
     ref_order: list[str] = []
@@ -92,8 +95,9 @@ def load_bed_multi_ref(path: str, get_strand: bool):
                 longest[ref] = right - left
     if not lists:
         return None
-    for ref in lists:
-        lists[ref].sort(key=lambda e: e.right)
+    if sort_by_pos:
+        for ref in lists:
+            lists[ref].sort(key=lambda e: e.right)
     return lists, longest, ref_order
 
 
