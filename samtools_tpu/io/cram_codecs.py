@@ -1,0 +1,550 @@
+"""CRAM block compression codecs (decode).
+
+Re-derivations of the CRAM 3.0/3.1 codec suite from the published CRAM
+codecs specification: gzip/bzip2/lzma (stdlib), rANS 4x8 (CRAM 3.0,
+order 0/1, 12-bit frequencies, 4 interleaved byte-renormalised states)
+and rANS Nx16 (CRAM 3.1: 16-bit renormalisation, 4/32-way round-robin
+interleave, STRIPE/CAT/RLE/PACK transforms).  Reference tool usage:
+htslib's cram codecs as consumed by /root/reference/cram_size.c and
+bam_checksum.c CRAM inputs.
+
+The adaptive arithmetic coder, fqzcomp and the name tokeniser raise
+NotImplementedError (rare in practice; none of the reference test
+fixtures use them).
+"""
+
+from __future__ import annotations
+
+import bz2
+import lzma
+import zlib
+
+import numpy as np
+
+# CRAM block compression method ids
+RAW, GZIP, BZIP2, LZMA, RANS4x8, RANSNx16, ARITH, FQZ, TOK3 = range(9)
+
+# rANS Nx16 flag bits
+X_ORDER = 0x01
+X_32 = 0x04
+X_STRIPE = 0x08
+X_NOSZ = 0x10
+X_CAT = 0x20
+X_RLE = 0x40
+X_PACK = 0x80
+
+
+class CramCodecError(RuntimeError):
+    pass
+
+
+def uncompress(method: int, data: bytes, usize: int) -> bytes:
+    if method == RAW:
+        return data
+    if method == GZIP:
+        return zlib.decompress(data, 31 if data[:2] == b"\x1f\x8b" else 15)
+    if method == BZIP2:
+        return bz2.decompress(data)
+    if method == LZMA:
+        return lzma.decompress(data)
+    if method == RANS4x8:
+        return rans4x8_uncompress(data)
+    if method == RANSNx16:
+        out, _ = ransNx16_uncompress(data, 0, usize)
+        return out
+    raise NotImplementedError(
+        "CRAM compression method %d not supported" % method)
+
+
+# ----------------------------------------------------------------------
+# varint helpers
+
+def uint7(data: bytes, i: int):
+    """Big-endian base-128 varint (CRAM 3.1 uint7)."""
+    v = 0
+    while True:
+        b = data[i]
+        i += 1
+        v = (v << 7) | (b & 0x7F)
+        if not (b & 0x80):
+            break
+    return v, i
+
+
+# ----------------------------------------------------------------------
+# rANS 4x8 (CRAM 3.0)
+
+_TF_SHIFT = 12
+_TOTFREQ = 1 << _TF_SHIFT
+_RANS_BYTE_L = 1 << 23
+
+
+def _read_freqs_4x8(data: bytes, i: int):
+    """Order-0 frequency table: ascending symbols with run-length
+    shortcuts, freqs as 1-2 bytes, 0-terminated."""
+    F = np.zeros(256, np.uint32)
+    rle = 0
+    sym = data[i]
+    i += 1
+    last_sym = sym
+    while True:
+        # read frequency for sym
+        f = data[i]
+        i += 1
+        if f & 0x80:
+            f = ((f & 0x7F) << 8) | data[i]
+            i += 1
+        F[sym] = f
+        if rle > 0:
+            rle -= 1
+            sym += 1
+        else:
+            nsym = data[i]
+            i += 1
+            if nsym == 0:
+                break
+            if nsym == last_sym + 1:
+                rle = data[i]
+                i += 1
+            sym = nsym
+        last_sym = sym
+    return F, i
+
+
+def _build_tables(F: np.ndarray, totfreq: int):
+    C = np.zeros(257, np.uint32)
+    np.cumsum(F, out=C[1:])
+    lookup = np.zeros(totfreq, np.uint16)
+    for s in np.nonzero(F)[0]:
+        lookup[C[s]:C[s] + F[s]] = s
+    return C, lookup
+
+
+def _rans4x8_decode_stream(data: bytes, i: int, F, C, lookup, out_sz: int):
+    """Order-0 payload: 4 interleaved states over round-robin? No —
+    4x8 order-0 IS round-robin over output bytes."""
+    R = [int.from_bytes(data[i + 4 * j:i + 4 * j + 4], "little")
+         for j in range(4)]
+    i += 16
+    out = bytearray(out_sz)
+    n = len(data)
+    mask = _TOTFREQ - 1
+    for k in range(out_sz):
+        j = k & 3
+        x = R[j]
+        m = x & mask
+        s = int(lookup[m])
+        x = int(F[s]) * (x >> _TF_SHIFT) + m - int(C[s])
+        while x < _RANS_BYTE_L and i < n:
+            x = (x << 8) | data[i]
+            i += 1
+        R[j] = x
+        out[k] = s
+    return bytes(out)
+
+
+def rans4x8_uncompress(data: bytes) -> bytes:
+    order = data[0]
+    # comp size (4 LE), uncomp size (4 LE)
+    out_sz = int.from_bytes(data[5:9], "little")
+    i = 9
+    if order == 0:
+        F, i = _read_freqs_4x8(data, i)
+        C, lookup = _build_tables(F, _TOTFREQ)
+        return _rans4x8_decode_stream(data, i, F, C, lookup, out_sz)
+    if order != 1:
+        raise CramCodecError("bad rans4x8 order %d" % order)
+
+    # order-1: per-context tables; contexts listed like symbols
+    Fs = {}
+    Cs = {}
+    Ls = {}
+    rle_i = 0
+    ctx = data[i]
+    i += 1
+    last_i = ctx
+    while True:
+        F, i = _read_freqs_4x8(data, i)
+        Fs[ctx] = F
+        Cs[ctx], Ls[ctx] = _build_tables(F, _TOTFREQ)
+        if rle_i > 0:
+            rle_i -= 1
+            ctx += 1
+        else:
+            nctx = data[i]
+            i += 1
+            if nctx == 0:
+                break
+            if nctx == last_i + 1:
+                rle_i = data[i]
+                i += 1
+            ctx = nctx
+        last_i = ctx
+
+    R = [int.from_bytes(data[i + 4 * j:i + 4 * j + 4], "little")
+         for j in range(4)]
+    i += 16
+    out = bytearray(out_sz)
+    n = len(data)
+    isz4 = out_sz >> 2
+    ptr = [0, isz4, 2 * isz4, 3 * isz4]
+    last = [0, 0, 0, 0]
+    mask = _TOTFREQ - 1
+    for _k in range(isz4):
+        for j in range(4):
+            x = R[j]
+            m = x & mask
+            l = last[j]
+            s = int(Ls[l][m])
+            F = Fs[l]
+            C = Cs[l]
+            x = int(F[s]) * (x >> _TF_SHIFT) + m - int(C[s])
+            while x < _RANS_BYTE_L and i < n:
+                x = (x << 8) | data[i]
+                i += 1
+            R[j] = x
+            out[ptr[j]] = s
+            ptr[j] += 1
+            last[j] = s
+    # remainder handled by state 3
+    x = R[3]
+    l = last[3]
+    for k in range(4 * isz4, out_sz):
+        m = x & mask
+        s = int(Ls[l][m])
+        x = int(Fs[l][s]) * (x >> _TF_SHIFT) + m - int(Cs[l][s])
+        while x < _RANS_BYTE_L and i < n:
+            x = (x << 8) | data[i]
+            i += 1
+        out[k] = s
+        l = s
+    return bytes(out)
+
+
+# ----------------------------------------------------------------------
+# rANS Nx16 (CRAM 3.1)
+
+def _read_alphabet(data: bytes, i: int):
+    """Ascending symbol list with run shortcuts, 0-terminated."""
+    syms = []
+    rle = 0
+    sym = data[i]
+    i += 1
+    last_sym = sym
+    while True:
+        syms.append(sym)
+        if rle > 0:
+            rle -= 1
+            sym += 1
+        else:
+            nsym = data[i]
+            i += 1
+            if nsym == 0:
+                break
+            if nsym == last_sym + 1:
+                rle = data[i]
+                i += 1
+            sym = nsym
+        last_sym = sym
+    return syms, i
+
+
+def _normalize(F: np.ndarray, totfreq: int) -> np.ndarray:
+    """Scale raw freqs so they sum to totfreq (spec NormaliseFrequencies:
+    scale down then bump the largest)."""
+    tot = int(F.sum())
+    if tot == 0 or tot == totfreq:
+        return F
+    out = np.zeros_like(F)
+    shift = 0
+    t = tot
+    while t < totfreq:
+        t *= 2
+        shift += 1
+    # general renormalisation
+    used = np.nonzero(F)[0]
+    tr = (totfreq << 8) // tot  # 8-bit fixed-point ratio
+    acc = 0
+    for s in used:
+        f = (int(F[s]) * tr) >> 8
+        if f == 0:
+            f = 1
+        out[s] = f
+        acc += f
+    # adjust largest symbol to make the sum exact
+    big = used[np.argmax(F[used])]
+    out[big] += totfreq - acc
+    return out
+
+
+def _read_freqs_nx16_o0(data: bytes, i: int):
+    syms, i = _read_alphabet(data, i)
+    F = np.zeros(256, np.uint32)
+    for s in syms:
+        v, i = uint7(data, i)
+        F[s] = v
+    F = _normalize(F, 1 << 12)
+    return F, i
+
+
+def _ransnx16_o0(data: bytes, i: int, out_sz: int, N: int) -> bytes:
+    F, i = _read_freqs_nx16_o0(data, i)
+    C, lookup = _build_tables(F, 1 << 12)
+    R = []
+    for j in range(N):
+        R.append(int.from_bytes(data[i:i + 4], "little"))
+        i += 4
+    arr = np.frombuffer(data, np.uint8)
+    out = bytearray(out_sz)
+    n = len(data)
+    mask = (1 << 12) - 1
+    Fi = F.astype(np.int64)
+    Ci = C.astype(np.int64)
+    for k in range(out_sz):
+        j = k % N
+        x = R[j]
+        m = x & mask
+        s = int(lookup[m])
+        x = int(Fi[s]) * (x >> 12) + m - int(Ci[s])
+        if x < (1 << 15) and i + 1 < n:
+            x = (x << 16) | (data[i] | (data[i + 1] << 8))
+            i += 2
+        R[j] = x
+        out[k] = s
+    return bytes(out)
+
+
+def _ransnx16_o1(data: bytes, i: int, out_sz: int, N: int) -> bytes:
+    comp = data[i]
+    i += 1
+    shift = comp >> 4
+    if comp & 1:
+        # table itself rans-compressed (order-0, 4-way)
+        u_len, i = uint7(data, i)
+        c_len, i = uint7(data, i)
+        tbl = _ransnx16_o0(data, i, u_len, 4)
+        i += c_len
+        tdata, ti = tbl, 0
+    else:
+        tdata, ti = data, i
+
+    syms, ti = _read_alphabet(tdata, ti)
+    Fs = {}
+    Cs = {}
+    Ls = {}
+    totfreq = 1 << shift
+    for ctx in syms:
+        # inner alphabet may be a subset; freqs only for listed symbols
+        F = np.zeros(256, np.uint32)
+        # run-length of zeros within the listed alphabet
+        rz = 0
+        for s in syms:
+            if rz:
+                rz -= 1
+                continue
+            v, ti = uint7(tdata, ti)
+            F[s] = v
+            if v == 0:
+                rz = tdata[ti]
+                ti += 1
+        F = _normalize(F, totfreq)
+        Fs[ctx] = F
+        Cs[ctx], Ls[ctx] = _build_tables(F, totfreq)
+
+    if not (comp & 1):
+        i = ti
+
+    R = []
+    for j in range(N):
+        R.append(int.from_bytes(data[i:i + 4], "little"))
+        i += 4
+    out = bytearray(out_sz)
+    n = len(data)
+    mask = totfreq - 1
+    isz = (out_sz + N - 1) // N  # bytes per state (last state longer?)
+    # Nx16 order-1 splits output into N fragments of isz = out_sz/N,
+    # remainder handled by the last state
+    isz = out_sz // N
+    ptr = [j * isz for j in range(N)]
+    last = [0] * N
+    for _k in range(isz):
+        for j in range(N):
+            x = R[j]
+            m = x & mask
+            l = last[j]
+            s = int(Ls[l][m])
+            x = int(Fs[l][s]) * (x >> shift) + m - int(Cs[l][s])
+            if x < (1 << 15) and i + 1 < n:
+                x = (x << 16) | (data[i] | (data[i + 1] << 8))
+                i += 2
+            R[j] = x
+            out[ptr[j]] = s
+            ptr[j] += 1
+            last[j] = s
+    x = R[N - 1]
+    l = last[N - 1]
+    for k in range(N * isz, out_sz):
+        m = x & mask
+        s = int(Ls[l][m])
+        x = int(Fs[l][s]) * (x >> shift) + m - int(Cs[l][s])
+        if x < (1 << 15) and i + 1 < n:
+            x = (x << 16) | (data[i] | (data[i + 1] << 8))
+            i += 2
+        out[k] = s
+        l = s
+    return bytes(out)
+
+
+def ransNx16_uncompress(data: bytes, i: int = 0, usize: int | None = None):
+    """Decode one rANS Nx16 stream starting at offset i.
+    Returns (bytes, next_offset)."""
+    flags = data[i]
+    i += 1
+    order = flags & X_ORDER
+    N = 32 if flags & X_32 else 4
+    if not (flags & X_NOSZ):
+        out_sz, i = uint7(data, i)
+    else:
+        out_sz = usize
+
+    if flags & X_STRIPE:
+        n_strips = data[i]
+        i += 1
+        clens = []
+        for j in range(n_strips):
+            v, i = uint7(data, i)
+            clens.append(v)
+        parts = []
+        for j in range(n_strips):
+            ulen_j = (out_sz - j + n_strips - 1) // n_strips
+            part, _ = ransNx16_uncompress(data, i, ulen_j)
+            parts.append(np.frombuffer(part, np.uint8))
+            i += clens[j]
+        out = np.zeros(out_sz, np.uint8)
+        for j in range(n_strips):
+            out[j::n_strips] = parts[j][: len(out[j::n_strips])]
+        return out.tobytes(), i
+
+    pack_map = None
+    pack_out = out_sz
+    if flags & X_PACK:
+        nsym = data[i]
+        i += 1
+        pack_map = bytes(data[i:i + nsym])
+        i += nsym
+        plen, i = uint7(data, i)
+        pack_out = out_sz
+        out_sz = plen
+
+    rle_meta = None
+    if flags & X_RLE:
+        rmeta_len, i = uint7(data, i)
+        u_rmeta_len, i = uint7(data, i)
+        if rmeta_len & 1:
+            rle_meta = bytes(data[i:i + (rmeta_len >> 1)])
+            i += rmeta_len >> 1
+        else:
+            rle_meta, _ = ransNx16_uncompress(data, i, u_rmeta_len)
+            i += rmeta_len >> 1
+        rle_out_sz = out_sz
+        out_sz = u_rmeta_len  # placeholder; real len computed below
+        # The RLE metadata's first uint7 is the length of the
+        # non-run-encoded data stream
+        mlen, mi = uint7(rle_meta, 0)
+        out_sz = mlen
+        rle_meta_body = (rle_meta, mi)
+    if flags & X_CAT:
+        out = bytes(data[i:i + out_sz])
+        i += out_sz
+    elif order:
+        start = i
+        out = _ransnx16_o1(data, i, out_sz, N)
+        # compute consumed length: we don't track exactly; rely on caller
+        # passing per-stream slices for STRIPE.  For top level, the block
+        # boundary delimits the stream, so i is unused by callers.
+        i = len(data)
+    else:
+        out = _ransnx16_o0(data, i, out_sz, N)
+        i = len(data)
+
+    if flags & X_RLE:
+        out = _rle_expand(out, rle_meta_body, rle_out_sz)
+    if flags & X_PACK:
+        out = _unpack(out, pack_map, pack_out)
+    return out, i
+
+
+def _rle_expand(data: bytes, meta_body, out_sz: int) -> bytes:
+    meta, mi = meta_body
+    # symbols subject to RLE
+    n_rle_sym = meta[mi]
+    mi += 1
+    if n_rle_sym == 0:
+        n_rle_sym = 256
+    rle_syms = set(meta[mi:mi + n_rle_sym])
+    mi += n_rle_sym
+    out = bytearray()
+    di = 0
+    while di < len(data) and len(out) < out_sz:
+        b = data[di]
+        di += 1
+        if b in rle_syms:
+            run, mi = uint7(meta, mi)
+            out.extend(bytes([b]) * (run + 1))
+        else:
+            out.append(b)
+    return bytes(out)
+
+
+def _unpack(data: bytes, pmap: bytes, out_sz: int) -> bytes:
+    nsym = len(pmap)
+    arr = np.frombuffer(data, np.uint8)
+    if nsym <= 1:
+        return bytes(pmap[:1]) * out_sz
+    if nsym <= 2:
+        bits = np.unpackbits(arr.reshape(-1, 1), axis=1, bitorder="little")
+        vals = bits.reshape(-1)[:out_sz]
+    elif nsym <= 4:
+        vals = np.stack([(arr >> (2 * k)) & 3 for k in range(4)],
+                        axis=1).reshape(-1)[:out_sz]
+    elif nsym <= 16:
+        vals = np.stack([arr & 15, arr >> 4], axis=1).reshape(-1)[:out_sz]
+    else:
+        return bytes(data[:out_sz])
+    lut = np.zeros(256, np.uint8)
+    lut[:nsym] = np.frombuffer(pmap, np.uint8)
+    return lut[vals].tobytes()
+
+
+# ----------------------------------------------------------------------
+# method introspection (cram_expand_method analog for cram-size)
+
+def expand_method(method: int, data: bytes) -> dict:
+    """Sub-method details from a block's first bytes
+    (htslib cram_expand_method)."""
+    d = {"method": method, "level": -1, "order": 0, "rle": 0, "pack": 0,
+         "stripe": 0, "cat": 0, "nway": 4, "ext": 0}
+    if method == GZIP and len(data) >= 9:
+        # gzip XFL byte: 4 = fastest, 2 = best
+        if data[8] == 4:
+            d["level"] = 1
+        elif data[8] == 2:
+            d["level"] = 9
+    elif method == BZIP2 and len(data) >= 4:
+        if data[:3] == b"BZh" and b"1"[0] <= data[3] <= b"9"[0]:
+            d["level"] = data[3] - 48
+    elif method == RANS4x8 and data:
+        d["order"] = data[0] & 1
+    elif method in (RANSNx16, ARITH) and data:
+        fl = data[0]
+        d["order"] = fl & 1
+        d["rle"] = 1 if fl & X_RLE else 0
+        d["pack"] = 1 if fl & X_PACK else 0
+        d["stripe"] = 1 if fl & X_STRIPE else 0
+        d["cat"] = 1 if fl & X_CAT else 0
+        d["nway"] = 32 if fl & X_32 else 4
+        if method == ARITH and fl & 0x04:
+            d["ext"] = 1
+    elif method == TOK3 and data:
+        d["level"] = data[0]
+    return d
