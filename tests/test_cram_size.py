@@ -37,7 +37,7 @@ def test_cram_size_encodings():
     assert rc == 0
     want = open(f"{R}/expected/encodings.out", "rb").read()
     tag3 = {b"SMc", b"XCc", b"AMc", b"BQZ", b"MQc", b"X0c", b"X1c",
-            b"XTA"}
+            b"XTA", b"XAZ"}
 
     def split(txt):
         fixed, tags = [], []
