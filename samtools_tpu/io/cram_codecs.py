@@ -319,10 +319,10 @@ def _ransnx16_o1(data: bytes, i: int, out_sz: int, N: int) -> bytes:
     i += 1
     shift = comp >> 4
     if comp & 1:
-        # table itself rans-compressed (order-0, 4-way)
+        # table itself rans-compressed (low-level order-0, 4-way)
         u_len, i = uint7(data, i)
         c_len, i = uint7(data, i)
-        tbl = _ransnx16_o0(data, i, u_len, 4)
+        tbl = _ransnx16_o0(data[:i + c_len], i, u_len, 4)
         i += c_len
         tdata, ti = tbl, 0
     else:
@@ -436,23 +436,25 @@ def ransNx16_uncompress(data: bytes, i: int = 0, usize: int | None = None):
         pack_out = out_sz
         out_sz = plen
 
-    rle_meta = None
+    rle_meta_body = None
+    rle_out_sz = 0
     if flags & X_RLE:
+        # format: u_meta_len<<1|raw (uint7), rle_len (uint7), then the
+        # meta bytes (raw, or c_meta_len uint7 + low-level O0 stream)
         rmeta_len, i = uint7(data, i)
-        u_rmeta_len, i = uint7(data, i)
+        rle_len, i = uint7(data, i)
         if rmeta_len & 1:
             rle_meta = bytes(data[i:i + (rmeta_len >> 1)])
             i += rmeta_len >> 1
         else:
-            rle_meta, _ = ransNx16_uncompress(data, i, u_rmeta_len)
-            i += rmeta_len >> 1
+            u_meta_len = rmeta_len >> 1
+            c_meta_len, i = uint7(data, i)
+            rle_meta = _ransnx16_o0(data[:i + c_meta_len], i,
+                                    u_meta_len, 4)
+            i += c_meta_len
         rle_out_sz = out_sz
-        out_sz = u_rmeta_len  # placeholder; real len computed below
-        # The RLE metadata's first uint7 is the length of the
-        # non-run-encoded data stream
-        mlen, mi = uint7(rle_meta, 0)
-        out_sz = mlen
-        rle_meta_body = (rle_meta, mi)
+        out_sz = rle_len
+        rle_meta_body = (rle_meta, 0)
     if flags & X_CAT:
         out = bytes(data[i:i + out_sz])
         i += out_sz

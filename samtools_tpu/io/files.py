@@ -69,7 +69,9 @@ def read_alignments(path: str, threads: int = 0) -> AlignmentFile:
 
 def _read_from_bytes(data: bytes, threads: int = 0) -> AlignmentFile:
     if data[:4] == b"CRAM":
-        raise FormatError("CRAM input is not supported yet")
+        from .cram_decode import read_cram
+        header, batch = read_cram(data)
+        return AlignmentFile(header=header, batch=batch, format="cram")
     fmt = "sam"
     if data[:2] == b"\x1f\x8b":
         if bgzf.is_bgzf(data):

@@ -79,7 +79,41 @@ def _check_one(fn: str, unmapped: bool, verbose: int, quiet: bool) -> int:
             err(QC_BAD_HEADER, f"{fn} caused an error whilst reading its header.\n")
             return state
     elif fmt == "cram":
-        n_targets = 1  # CRAM decode not wired; treat header as present
+        # header readability + EOF container presence
+        # (bam_quickcheck.c CRAM branch; EOF marker per CRAM spec)
+        try:
+            with open(fn, "rb") as f:
+                data = f.read()
+            from ..io.cram import CramReader, parse_block
+            rd = CramReader(data)
+            gen = rd.containers()
+            cont0, i0 = next(gen)
+            blk, _ = parse_block(data, i0, rd.major)
+            import struct as _struct
+            hd = blk.data()
+            tlen = _struct.unpack_from("<i", hd, 0)[0]
+            text = hd[4:4 + tlen].decode("latin-1")
+            n_targets = sum(1 for l in text.split("\n")
+                            if l.startswith("@SQ"))
+        except Exception:
+            err(QC_BAD_HEADER,
+                f"{fn} caused an error whilst reading its header.\n")
+            return state
+        # v2.1 EOF: 30 bytes; v3: 38 bytes with special signature
+        eof_v3 = bytes.fromhex(
+            "0f000000ffffffff0fe0454f4600000000010005bdd94f0001000606"
+            "010001000100ee63014b")
+        eof_v21 = bytes.fromhex(
+            "0b000000ffffffff0fe0454f4600000000010000010006060100"
+            "01000100")
+        tail = data[-38:]
+        if not (tail == eof_v3 or tail[-30:] == eof_v21):
+            err(QC_NO_EOF_BLOCK,
+                f"{fn} was missing EOF block when one should be"
+                " present.\n")
+        if not unmapped and n_targets <= 0:
+            err(QC_BAD_HEADER, f"{fn} had no targets in header.\n")
+        return state
     else:
         err(QC_NOT_SEQUENCE, f"{fn} was not identified as sequence data.\n")
         return state

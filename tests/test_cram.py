@@ -1,0 +1,112 @@
+"""CRAM read-path tests: record decode across CRAM 2.0/3.0/3.1,
+validated against reference goldens (checksum chk2.*, idxstats,
+quickcheck EOF detection) and SAM/BAM twins."""
+
+import os
+import re
+import subprocess
+import sys
+
+import pytest
+
+R = "/root/reference/test"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cli(args, ref_path=None):
+    env = dict(os.environ, SAMTPU_PLATFORM="cpu", JAX_PLATFORMS="cpu",
+               PYTHONPATH=REPO)
+    if ref_path:
+        env["REF_PATH"] = ref_path
+    p = subprocess.run([sys.executable, "-m", "samtools_tpu"] + args,
+                       capture_output=True, env=env)
+    return p.returncode, p.stdout
+
+
+def strip_fn(out: bytes) -> bytes:
+    return re.sub(rb"(# Checksum[^:]*:).*", rb"\1", out)
+
+
+@pytest.mark.parametrize("expected,args", [
+    ("chk2.1.expected", ["checksum"]),
+    ("chk2.2.expected", ["checksum", "-a"]),
+    ("chk2.3.expected", ["checksum", "-qv"]),
+    ("chk2.4.expected", ["checksum", "-qv", "-a"]),
+])
+def test_checksum_cram31(expected, args):
+    """CRAM 3.1 decode through rANS Nx16 (o0/o1/RLE/cat) validated by
+    the reference's own order-agnostic content checksums — -a covers
+    pos, MAPQ+CIGAR and RNEXT/PNEXT/TLEN reconstruction."""
+    rc, out = run_cli(args + [f"{R}/checksum/chk2.cram"])
+    assert rc == 0
+    assert strip_fn(out) == open(f"{R}/checksum/{expected}",
+                                 "rb").read()
+
+
+def test_idxstats_cram30():
+    rc, out = run_cli(["idxstats", f"{R}/dat/test_input_1_a.cram"],
+                      ref_path=f"{R}/dat/cram_md5")
+    assert rc == 0
+    want = open(f"{R}/idxstats/test_input_1_a.bam.expected",
+                "rb").read()
+    assert out == want
+
+
+def test_view_cram30_matches_bam():
+    rc, bam = run_cli(["view", f"{R}/dat/test_input_1_a.bam"])
+    rc2, cram = run_cli(["view", f"{R}/dat/test_input_1_a.cram"],
+                        ref_path=f"{R}/dat/cram_md5")
+    assert rc == 0 and rc2 == 0
+
+    def norm(txt):
+        # CRAM reorders aux (RG appended last) and canonically drops
+        # cigar/mapq on unmapped reads; compare core fields + tag sets
+        rows = []
+        for l in txt.decode().splitlines():
+            f = l.split("\t")
+            if int(f[1]) & 4:
+                continue
+            rows.append((f[0], f[1], f[2], f[3], f[4], f[5], f[6],
+                         f[7], f[8], f[9], f[10],
+                         tuple(sorted(f[11:]))))
+        return rows
+    assert norm(bam) == norm(cram)
+
+
+def test_view_cram20_matches_sam():
+    rc, sam = run_cli(["view", f"{R}/mpileup/ce#5b.sam"])
+    rc2, cram = run_cli(["view", f"{R}/mpileup/ce#5b.cram"],
+                        ref_path=f"{R}/mpileup/md5")
+    assert rc == 0 and rc2 == 0
+    a = [l for l in sam.decode().splitlines()
+         if "\t*\t*" not in l]  # seq-less records round-trip lossily
+    b = [l for l in cram.decode().splitlines() if l.split("\t")[0]
+         in {x.split("\t")[0] for x in a} and "\tN" not in l.split("\t")[9][:2]]
+    # primary mapped records are identical
+    sam_rows = {l.split("\t")[0] + "/" + l.split("\t")[1]: l for l in a}
+    for l in cram.decode().splitlines():
+        f = l.split("\t")
+        key = f[0] + "/" + f[1]
+        if key in sam_rows:
+            assert l == sam_rows[key]
+
+
+def test_mpileup_cram_equals_sam():
+    args = ["mpileup", "-x", "-d", "8500", "-B"]
+    rc, want = run_cli(args + [f"{R}/mpileup/ce#5b.sam"])
+    rc2, got = run_cli(args + [f"{R}/mpileup/ce#5b.cram"],
+                       ref_path=f"{R}/mpileup/md5")
+    assert rc == 0 and rc2 == 0
+    assert got == want
+
+
+@pytest.mark.parametrize("fn,want", [
+    ("5.quickcheck.scramble30.truncated.cram", 16),
+    ("6.quickcheck.cram21.ok.cram", 0),
+    ("7.quickcheck.cram30.ok.cram", 0),
+    ("8.quickcheck.cram21.truncated.cram", 16),
+    ("9.quickcheck.cram30.truncated.cram", 16),
+])
+def test_quickcheck_cram(fn, want):
+    rc, _ = run_cli(["quickcheck", f"{R}/quickcheck/{fn}"])
+    assert rc == want
