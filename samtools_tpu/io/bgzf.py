@@ -97,8 +97,23 @@ def _inflate_block(data: bytes, off: int, bsize: int) -> bytes:
     return out
 
 
+def _native():
+    try:
+        from . import native
+        if native.available():
+            return native
+    except Exception:
+        pass
+    return None
+
+
 def decompress(data: bytes, threads: int = 0) -> bytes:
     """Inflate an entire BGZF byte buffer to one contiguous bytes object."""
+    nat = _native()
+    if nat is not None:
+        coffs, bsizes, isizes = nat.bgzf_scan(data)
+        return nat.bgzf_inflate(data, coffs, bsizes, int(isizes.sum()),
+                                max(threads, 2))
     coffs, bsizes = scan_blocks(data)
     if threads and len(coffs) > 4:
         with ThreadPoolExecutor(max_workers=threads) as ex:
@@ -113,6 +128,14 @@ def decompress(data: bytes, threads: int = 0) -> bytes:
 def decompress_with_index(data: bytes, threads: int = 0):
     """Inflate, also returning per-block (coffset, uoffset) for virtual-offset
     math (BAI chunk → uncompressed range)."""
+    nat = _native()
+    if nat is not None:
+        coffs, bsizes, isizes = nat.bgzf_scan(data)
+        out = nat.bgzf_inflate(data, coffs, bsizes, int(isizes.sum()),
+                               max(threads, 2))
+        uoffs = np.zeros(len(coffs) + 1, np.int64)
+        np.cumsum(isizes, out=uoffs[1:])
+        return out, coffs, uoffs
     coffs, bsizes = scan_blocks(data)
     if threads and len(coffs) > 4:
         with ThreadPoolExecutor(max_workers=threads) as ex:
@@ -140,6 +163,9 @@ def read_file(path: str, threads: int = 0) -> bytes:
 
 
 def _deflate_block(chunk: bytes, level: int) -> bytes:
+    nat = _native()
+    if nat is not None and len(chunk) <= 0xFF00:
+        return nat.bgzf_deflate(chunk, level, 0xFF00, 1)
     co = zlib.compressobj(level, zlib.DEFLATED, -15)
     cdata = co.compress(chunk) + co.flush()
     crc = zlib.crc32(chunk) & 0xFFFFFFFF
@@ -154,6 +180,10 @@ def _deflate_block(chunk: bytes, level: int) -> bytes:
 def compress(data: bytes, level: int = 6, threads: int = 0,
              append_eof: bool = True, block_size: int = 0xFF00) -> bytes:
     """Compress a buffer into BGZF blocks (+ EOF marker)."""
+    nat = _native()
+    if nat is not None:
+        body = nat.bgzf_deflate(data, level, block_size, max(threads, 2))
+        return body + BGZF_EOF if append_eof else body
     chunks = [data[i:i + block_size] for i in range(0, len(data), block_size)]
     if threads and len(chunks) > 4:
         with ThreadPoolExecutor(max_workers=threads) as ex:

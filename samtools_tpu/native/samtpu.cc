@@ -1,0 +1,243 @@
+// libsamtpu: native host-side hot paths for the TPU samtools rebuild.
+//
+// The TPU framework keeps all tensor compute in JAX/XLA/Pallas; this
+// library covers the sequential / byte-level host work the reference does
+// in C (htslib's bgzf.c block codec behind hts_tpool, sam.c record
+// framing):
+//   * BGZF block scan            (bgzf.c bgzf_read_block analog)
+//   * parallel BGZF inflate      (hts_tpool parallel block decode analog,
+//                                 cf. /root/reference/bam_sort.c:3479)
+//   * parallel BGZF deflate      (bgzf_mt writer analog)
+//   * BAM record-offset scan     (sam_read1 framing loop analog)
+//
+// All entry points are plain C ABI for ctypes.  Every function returns a
+// negative code on error, >=0 on success.  Compression uses libdeflate
+// (zlib-compatible DEFLATE streams; markedly faster than zlib on both
+// directions), falling back to raw-deflate wrappers identical in layout to
+// the Python zlib path so outputs interoperate.
+
+#include <libdeflate.h>
+
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// BAM record-offset scan: walk block_size-prefixed records.
+// Returns the number of records written to out, or
+//   -1 corrupt record size / overrun, -2 trailing garbage, -3 out overflow.
+int64_t samtpu_bam_scan_offsets(const uint8_t* data, int64_t n,
+                                int64_t start, int64_t* out, int64_t cap) {
+  int64_t off = start;
+  int64_t cnt = 0;
+  while (off + 4 <= n) {
+    uint32_t bs;
+    std::memcpy(&bs, data + off, 4);
+    if (bs == 0 || off + 4 + (int64_t)bs > n) return -1;
+    if (cnt >= cap) return -3;
+    out[cnt++] = off;
+    off += 4 + (int64_t)bs;
+  }
+  if (off != n) return -2;
+  return cnt;
+}
+
+// ---------------------------------------------------------------------------
+// BGZF block scan: find every block's (coffset, bsize, isize).
+// Returns the number of blocks, or -1 on malformed block.
+int64_t samtpu_bgzf_scan(const uint8_t* data, int64_t n, int64_t* coffs,
+                         int64_t* bsizes, int64_t* isizes, int64_t cap) {
+  int64_t off = 0, cnt = 0;
+  while (off < n) {
+    if (n - off < 18) return -1;
+    if (data[off] != 0x1f || data[off + 1] != 0x8b || !(data[off + 3] & 4))
+      return -1;
+    uint16_t xlen;
+    std::memcpy(&xlen, data + off + 10, 2);
+    if (off + 12 + xlen > n) return -1;
+    int64_t bsize = -1;
+    int64_t i = off + 12, end = off + 12 + xlen;
+    while (i + 4 <= end) {
+      uint8_t si1 = data[i], si2 = data[i + 1];
+      uint16_t slen;
+      std::memcpy(&slen, data + i + 2, 2);
+      if (si1 == 'B' && si2 == 'C' && slen == 2) {
+        uint16_t v;
+        std::memcpy(&v, data + i + 4, 2);
+        bsize = (int64_t)v + 1;
+        break;
+      }
+      i += 4 + slen;
+    }
+    if (bsize < 18 || off + bsize > n) return -1;
+    if (cnt >= cap) return -1;
+    uint32_t isize;
+    std::memcpy(&isize, data + off + bsize - 4, 4);
+    coffs[cnt] = off;
+    bsizes[cnt] = bsize;
+    isizes[cnt] = isize;
+    ++cnt;
+    off += bsize;
+  }
+  return cnt;
+}
+
+// ---------------------------------------------------------------------------
+// Parallel BGZF inflate.  coffs/bsizes as from samtpu_bgzf_scan; out must
+// hold out_size bytes (= sum of ISIZEs).  Returns bytes written or
+//   -1 malformed block, -2 inflate failure, -3 size mismatch.
+static int inflate_range(const uint8_t* src, const int64_t* coffs,
+                         const int64_t* bsizes, const int64_t* uoffs,
+                         uint8_t* out, int64_t lo, int64_t hi) {
+  libdeflate_decompressor* d = libdeflate_alloc_decompressor();
+  if (!d) return -2;
+  for (int64_t b = lo; b < hi; ++b) {
+    int64_t off = coffs[b], bsize = bsizes[b];
+    uint16_t xlen;
+    std::memcpy(&xlen, src + off + 10, 2);
+    const uint8_t* cdata = src + off + 12 + xlen;
+    int64_t clen = bsize - 12 - xlen - 8;
+    uint32_t isize;
+    std::memcpy(&isize, src + off + bsize - 4, 4);
+    if (clen < 0) { libdeflate_free_decompressor(d); return -1; }
+    size_t got = 0;
+    libdeflate_result r = libdeflate_deflate_decompress(
+        d, cdata, (size_t)clen, out + uoffs[b], (size_t)isize, &got);
+    if (r != LIBDEFLATE_SUCCESS || got != isize) {
+      libdeflate_free_decompressor(d);
+      return r != LIBDEFLATE_SUCCESS ? -2 : -3;
+    }
+  }
+  libdeflate_free_decompressor(d);
+  return 0;
+}
+
+int64_t samtpu_bgzf_inflate(const uint8_t* src, int64_t n,
+                            const int64_t* coffs, int64_t nblk,
+                            const int64_t* bsizes, int64_t out_size,
+                            uint8_t* out, int threads) {
+  (void)n;
+  if (nblk == 0) return 0;
+  std::vector<int64_t> uoffs((size_t)nblk + 1);
+  uoffs[0] = 0;
+  for (int64_t b = 0; b < nblk; ++b) {
+    uint32_t isize;
+    std::memcpy(&isize, src + coffs[b] + bsizes[b] - 4, 4);
+    uoffs[(size_t)b + 1] = uoffs[(size_t)b] + isize;
+  }
+  if (uoffs[(size_t)nblk] > out_size) return -3;
+  int nt = threads > 1 ? threads : 1;
+  if (nt > nblk) nt = (int)nblk;
+  if (nt <= 1) {
+    int rc = inflate_range(src, coffs, bsizes, uoffs.data(), out, 0, nblk);
+    return rc < 0 ? rc : uoffs[(size_t)nblk];
+  }
+  std::vector<std::thread> ws;
+  std::atomic<int> err{0};
+  int64_t per = (nblk + nt - 1) / nt;
+  for (int t = 0; t < nt; ++t) {
+    int64_t lo = t * per, hi = lo + per < nblk ? lo + per : nblk;
+    if (lo >= hi) break;
+    ws.emplace_back([&, lo, hi] {
+      int rc = inflate_range(src, coffs, bsizes, uoffs.data(), out, lo, hi);
+      if (rc < 0) err.store(rc);
+    });
+  }
+  for (auto& w : ws) w.join();
+  if (err.load() < 0) return err.load();
+  return uoffs[(size_t)nblk];
+}
+
+// ---------------------------------------------------------------------------
+// Parallel BGZF deflate.  Splits src into block_size chunks, compresses each
+// into an independent BGZF member (gzip header + BC subfield + raw deflate +
+// crc32 + isize), concatenates.  out must hold
+//   nblocks * (block_size + 64) bytes.
+// Returns total compressed size (without EOF block) or -2 on failure.
+static const uint8_t kGzHdr[12] = {0x1f, 0x8b, 8, 4, 0, 0, 0, 0,
+                                   0,    0xff, 6, 0};
+
+static int64_t deflate_one(libdeflate_compressor* c, const uint8_t* chunk,
+                           int64_t len, uint8_t* dst, int64_t cap) {
+  // header(12) + "BC"+len(4)+bsize(2) = 18 bytes preamble, 8-byte trailer
+  if (cap < 26) return -2;
+  size_t max_payload = (size_t)(cap - 26);
+  size_t clen =
+      libdeflate_deflate_compress(c, chunk, (size_t)len, dst + 18, max_payload);
+  if (clen == 0) return -2;
+  int64_t bsize = (int64_t)clen + 26;
+  if (bsize > 0x10000) return -2;  // must fit the 16-bit BC field
+  std::memcpy(dst, kGzHdr, 12);
+  dst[12] = 'B';
+  dst[13] = 'C';
+  dst[14] = 2;
+  dst[15] = 0;
+  uint16_t bs16 = (uint16_t)(bsize - 1);
+  std::memcpy(dst + 16, &bs16, 2);
+  uint32_t crc = libdeflate_crc32(0, chunk, (size_t)len);
+  uint32_t ilen = (uint32_t)len;
+  std::memcpy(dst + 18 + clen, &crc, 4);
+  std::memcpy(dst + 22 + clen, &ilen, 4);
+  return bsize;
+}
+
+int64_t samtpu_bgzf_deflate(const uint8_t* src, int64_t n, int level,
+                            int64_t block_size, uint8_t* out, int64_t out_cap,
+                            int threads) {
+  if (block_size <= 0 || block_size > 0xff00) block_size = 0xff00;
+  int64_t nblk = n == 0 ? 1 : (n + block_size - 1) / block_size;
+  int64_t stride = block_size + 64;
+  if (out_cap < nblk * stride) return -4;
+  std::vector<int64_t> lens((size_t)nblk, 0);
+  std::atomic<int> err{0};
+  int nt = threads > 1 ? threads : 1;
+  if (nt > nblk) nt = (int)nblk;
+  auto work = [&](int64_t lo, int64_t hi) {
+    libdeflate_compressor* c = libdeflate_alloc_compressor(level);
+    if (!c) { err.store(-2); return; }
+    std::vector<uint8_t> tmp((size_t)stride);
+    for (int64_t b = lo; b < hi; ++b) {
+      int64_t off = b * block_size;
+      int64_t len = off + block_size <= n ? block_size : n - off;
+      if (len < 0) len = 0;
+      int64_t got = deflate_one(c, src + off, len, tmp.data(), stride);
+      if (got < 0) { err.store((int)got); break; }
+      std::memcpy(out + b * stride, tmp.data(), (size_t)got);
+      lens[(size_t)b] = got;
+    }
+    libdeflate_free_compressor(c);
+  };
+  if (nt <= 1) {
+    work(0, nblk);
+  } else {
+    std::vector<std::thread> ws;
+    int64_t per = (nblk + nt - 1) / nt;
+    for (int t = 0; t < nt; ++t) {
+      int64_t lo = t * per, hi = lo + per < nblk ? lo + per : nblk;
+      if (lo >= hi) break;
+      ws.emplace_back(work, lo, hi);
+    }
+    for (auto& w : ws) w.join();
+  }
+  if (err.load() < 0) return err.load();
+  // compact: slide each block's bytes down to the running write position
+  int64_t w = 0;
+  for (int64_t b = 0; b < nblk; ++b) {
+    if (w != b * stride)
+      std::memmove(out + w, out + b * stride, (size_t)lens[(size_t)b]);
+    w += lens[(size_t)b];
+  }
+  return w;
+}
+
+// ---------------------------------------------------------------------------
+// CRC32 (BAM/stats checksums use zlib polynomial).
+uint32_t samtpu_crc32(uint32_t seed, const uint8_t* data, int64_t n) {
+  return libdeflate_crc32(seed, data, (size_t)n);
+}
+
+}  // extern "C"
