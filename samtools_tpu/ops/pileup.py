@@ -42,7 +42,9 @@ class Pileup:
     is_tail: np.ndarray
     indel: np.ndarray      # int64, + insertion len / - deletion len
     # insertion details per entry index (only for indel>0 anchors):
-    # entry_idx -> (ins_string_uppercase_with_pads, del_after)
+    # entry_idx -> (ins_string_uppercase_with_pads, del_after, qpos_list)
+    # where qpos_list[k] is the query offset of char k (-1 for '*' pads),
+    # used by mpileup -M insertion mod annotation
     ins: dict = field(default_factory=dict)
     # column boundaries: sorted unique positions + start index per column
     col_pos: np.ndarray = field(default_factory=lambda: np.empty(0, np.int64))
@@ -112,6 +114,7 @@ def build_pileup(sub) -> Pileup:
                         indel[anchor] = -int(t.oplen[q])
                     continue
                 parts = []
+                qlist: list[int] = []
                 has_ins = False
                 for j in run:
                     o = int(t.op[j])
@@ -126,8 +129,10 @@ def build_pileup(sub) -> Pileup:
                                 bytes(seq_chars[bases]).decode("latin-1"))
                         else:
                             parts.append("N" * int(t.oplen[j]))
+                        qlist.extend(range(q0, q0 + int(t.oplen[j])))
                     elif o == F.CPAD:
                         parts.append("*" * int(t.oplen[j]))
+                        qlist.extend([-1] * int(t.oplen[j]))
                     else:  # S/H terminate the event scan
                         break
                 anchor = int(last_entry_of_op[p])
@@ -137,7 +142,7 @@ def build_pileup(sub) -> Pileup:
                                  else 0)
                     sstr = "".join(parts)
                     indel[anchor] = len(sstr)
-                    ins[anchor] = (sstr, del_after)
+                    ins[anchor] = (sstr, del_after, qlist)
                 elif q is not None and t.op[q] == F.CDEL:
                     indel[anchor] = -int(t.oplen[q])
     del rid_op_start

@@ -17,6 +17,7 @@ from ..core.regions import RegionError, parse_region
 from ..io import bed as bedmod
 from ..io import fasta as fastamod
 from ..io.files import read_alignments
+from ..ops import basemods
 from ..ops import pileup as plops
 from .common import (GlobalArgs, UsageError, gnu_getopt, handle_global_opt,
                      print_error, print_error_errno)
@@ -157,9 +158,24 @@ def build_entry_strings(sub, p, ref: bytes | None, ref_len: int,
     # mapq char for ^ marker
     mq = np.minimum(sub.mapq[p.rid].astype(np.int64) + 33, 126).astype(np.uint8)
 
+    # base modifications (-M): {rid: {qpos: [(strand, code, qual)]}};
+    # entries carrying a mod annotation leave the plain fast path
+    # (pileup_seq mod branch, bam_plcmd.c:86-110)
+    want_mods = bool(conf["flag_cols"] & COL_MODS)
+    mods_by_rid: dict = {}
+    has_mod = np.zeros(n, bool)
+    if want_mods:
+        mods_by_rid = basemods.batch_mods(sub, p.rid)
+        if mods_by_rid:
+            for i in range(n):
+                m = mods_by_rid.get(int(p.rid[i]))
+                if m is not None and not p.is_del[i] \
+                        and int(p.qpos[i]) in m:
+                    has_mod[i] = True
+
     # assemble per-entry strings (object array); vector fast-path for
     # plain single-char entries
-    plain = (~p.is_head) & (~p.is_tail) & (p.indel == 0)
+    plain = (~p.is_head) & (~p.is_tail) & (p.indel == 0) & (~has_mod)
     out = np.empty(n, object)
     pl = np.nonzero(plain)[0]
     chr_lut = [chr(i) for i in range(256)]
@@ -168,27 +184,44 @@ def build_entry_strings(sub, p, ref: bytes | None, ref_len: int,
     no_ends = conf["no_ends"]
     no_ins = conf["no_ins"]
     no_del = conf["no_del"]
+    no_ins_mods = conf["no_ins_mods"] or no_ins
     for i in np.nonzero(~plain)[0]:
+        rmods = mods_by_rid.get(int(p.rid[i])) if want_mods else None
         s = []
         if p.is_head[i] and not no_ends:
             s.append("^")
             s.append(chr_lut[mq[i]])
         s.append(chr_lut[ch[i]])
+        if rmods is not None and not p.is_del[i]:
+            lst = rmods.get(int(p.qpos[i]))
+            if lst:
+                s.append(basemods.format_mods(lst))
         ind = int(p.indel[i])
         del_len = -ind
         if ind > 0:
-            ins_str, del_after = p.ins.get(int(i), ("", 0))
+            ins_str, del_after, ins_qpos = p.ins.get(int(i), ("", 0, []))
             del_len = del_after
             if no_ins < 2:
                 s.append("+")
                 s.append(str(len(ins_str)))
             if not no_ins:
+                ins_mods = (rmods if (rmods is not None and
+                                      not no_ins_mods) else None)
                 if rev[i]:
                     pad = "#" if conf["rev_del"] else "*"
-                    s.append("".join(pad if c == "*" else c.lower()
-                                     for c in ins_str))
+                    for k, c in enumerate(ins_str):
+                        s.append(pad if c == "*" else c.lower())
+                        if ins_mods is not None and ins_qpos[k] >= 0:
+                            lst = ins_mods.get(ins_qpos[k])
+                            if lst:
+                                s.append(basemods.format_mods(lst))
                 else:
-                    s.append(ins_str.upper())
+                    for k, c in enumerate(ins_str):
+                        s.append(c.upper())
+                        if ins_mods is not None and ins_qpos[k] >= 0:
+                            lst = ins_mods.get(ins_qpos[k])
+                            if lst:
+                                s.append(basemods.format_mods(lst))
         if del_len > 0:
             if no_del < 2:
                 s.append(str(-del_len))
