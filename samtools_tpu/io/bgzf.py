@@ -179,7 +179,16 @@ def _deflate_block(chunk: bytes, level: int) -> bytes:
 
 def compress(data: bytes, level: int = 6, threads: int = 0,
              append_eof: bool = True, block_size: int = 0xFF00) -> bytes:
-    """Compress a buffer into BGZF blocks (+ EOF marker)."""
+    """Compress a buffer into BGZF blocks (+ EOF marker).
+
+    Framing is identical whichever codec runs: block_size is clamped to
+    0xFF00 (the BGZF payload maximum) on both paths, and empty input
+    emits only the EOF marker (htslib behavior).
+    """
+    if block_size <= 0 or block_size > 0xFF00:
+        block_size = 0xFF00
+    if not data:
+        return BGZF_EOF if append_eof else b""
     nat = _native()
     if nat is not None:
         body = nat.bgzf_deflate(data, level, block_size, max(threads, 2))

@@ -40,18 +40,31 @@ def _find_lib():
 
 
 def _build_lib():
-    """One-shot silent build attempt (make in samtools_tpu/native)."""
+    """One-shot silent build attempt (make in samtools_tpu/native).
+
+    Serialized with an flock lock file so concurrent processes (pytest
+    spawning CLI subprocesses) never interleave builds; the Makefile
+    itself compiles to a temp name and atomically renames into place.
+    """
     if os.environ.get("SAMTPU_NO_NATIVE"):
         return None
+    lock_path = os.path.join(_native_dir(), ".build.lock")
     try:
-        r = subprocess.run(
-            ["make", "-s"], cwd=_native_dir(),
-            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
-            timeout=120)
-        if r.returncode == 0:
-            cand = os.path.join(_native_dir(), "libsamtpu.so")
-            if os.path.exists(cand):
+        import fcntl
+        with open(lock_path, "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            # another process may have finished the build while we waited
+            cand = _find_lib()
+            if cand:
                 return cand
+            r = subprocess.run(
+                ["make", "-s"], cwd=_native_dir(),
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+                timeout=120)
+            if r.returncode == 0:
+                cand = os.path.join(_native_dir(), "libsamtpu.so")
+                if os.path.exists(cand):
+                    return cand
     except Exception:
         pass
     return None
@@ -138,7 +151,10 @@ def bgzf_scan(data) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         src.ctypes.data, src.size,
         coffs.ctypes.data, bsizes.ctypes.data, isizes.ctypes.data, cap)
     if got < 0:
-        raise ValueError("malformed BGZF block")
+        from .bgzf import BgzfError
+        # the scan stops at the first bad block: the offending offset is
+        # the end of the last good block (0 if none parsed)
+        raise BgzfError("malformed BGZF block (native scan, code %d)" % got)
     return coffs[:got].copy(), bsizes[:got].copy(), isizes[:got].copy()
 
 
@@ -156,7 +172,11 @@ def bgzf_inflate(data, coffs: np.ndarray, bsizes: np.ndarray,
         bsizes.ctypes.data, out_size,
         out.ctypes.data, threads)
     if got < 0:
-        raise RuntimeError(f"native BGZF inflate failed (code {got})")
+        from .bgzf import BgzfError
+        reasons = {-1: "malformed block", -2: "inflate failure",
+                   -3: "uncompressed size mismatch"}
+        raise BgzfError("native BGZF inflate failed: %s (code %d, %d blocks)"
+                        % (reasons.get(int(got), "error"), got, nblk))
     return out[:got].tobytes()
 
 
@@ -173,7 +193,8 @@ def bgzf_deflate(data, level: int, block_size: int, threads: int) -> bytes:
         src.ctypes.data, src.size, level, block_size,
         out.ctypes.data, out.size, threads)
     if got < 0:
-        raise RuntimeError(f"native BGZF deflate failed (code {got})")
+        from .bgzf import BgzfError
+        raise BgzfError(f"native BGZF deflate failed (code {got})")
     return out[:got].tobytes()
 
 

@@ -65,6 +65,7 @@ int64_t samtpu_bgzf_scan(const uint8_t* data, int64_t n, int64_t* coffs,
       uint8_t si1 = data[i], si2 = data[i + 1];
       uint16_t slen;
       std::memcpy(&slen, data + i + 2, 2);
+      if (i + 4 + (int64_t)slen > end) return -1;  // payload must fit FEXTRA
       if (si1 == 'B' && si2 == 'C' && slen == 2) {
         uint16_t v;
         std::memcpy(&v, data + i + 4, 2);
