@@ -13,6 +13,7 @@ import sys
 
 import numpy as np
 
+from .. import engine
 from ..core import flags as F
 from ..core.regions import RegionError, parse_region
 from ..io import bed as bedmod
@@ -299,8 +300,14 @@ def main_depth(argv: list[str]) -> int:
         env_pos = []
         env_end = []
         for f, s, cl, end in zip(files, subsels, clips, ends):
-            cols.append(dops.depth_window(f.batch, s, wbeg, wend,
-                                          min_qual, count_del, cl))
+            # device dispatch: aligned bases is the work-size proxy
+            if engine.use_device(int(f.batch.l_qseq[s].sum())):
+                from ..ops.pileup_engine import depth_window_device
+                depth_fn = depth_window_device
+            else:
+                depth_fn = dops.depth_window
+            cols.append(depth_fn(f.batch, s, wbeg, wend,
+                                 min_qual, count_del, cl))
             if s.size:
                 env_pos.append(f.batch.pos[s])
                 env_end.append(end[s])

@@ -34,16 +34,18 @@ class RegResult:
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _env():
+def _env(extra=None):
     env = dict(os.environ)
     env["SAMTPU_PLATFORM"] = "cpu"
     env["JAX_PLATFORMS"] = "cpu"
     env["PYTHONPATH"] = REPO_ROOT + os.pathsep + env.get("PYTHONPATH", "")
+    if extra:
+        env.update(extra)
     return env
 
 
 def run_reg(reg_path: str, workdir: str, formats=("sam", "bam"),
-            cmd_filter=None, skip_substrings=()) -> RegResult:
+            cmd_filter=None, skip_substrings=(), env_extra=None) -> RegResult:
     src_dir = os.path.dirname(os.path.abspath(reg_path))
     suite = os.path.basename(src_dir)
     root_dir = workdir
@@ -68,7 +70,7 @@ def run_reg(reg_path: str, workdir: str, formats=("sam", "bam"),
             os.chmod(os.path.join(root, x), 0o644)
 
     res = RegResult()
-    env = _env()
+    env = _env(env_extra)
     with open(reg_path) as f:
         lines = [l.rstrip("\n") for l in f]
     for line in lines:
