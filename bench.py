@@ -1,87 +1,194 @@
-"""Benchmark: dense pileup scatter kernel throughput on the TPU chip.
+"""Benchmark: the depth tool pipeline on a 30x coverage workload.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "detail"}.
 
-Workload: examples/ex1 reads tiled to ~2M records across a synthetic 32 Mb
-window (≈30x depth), expanded host-side to per-aligned-base (refpos, lane)
-pairs, then scatter-added into the dense [window, 32] pileup tensor on
-device — the core compute of depth/mpileup/consensus (SURVEY §7).
+Workload: 8 Mbp contig at 30x coverage (2.5M 100bp reads, seeded
+simulator), written as a real BGZF BAM.  Two pipelines over the same
+file:
 
-vs_baseline = device throughput / single-core numpy host throughput on the
-same arrays (np.add.at), the in-repo stand-in until a samtools+htslib CPU
-baseline can be measured (reference repo ships no binaries and htslib is
-not vendored).
+* baseline — the reference's architecture, measured: single-thread BGZF
+  inflate (libdeflate C++) + the literal add_depth hot loop
+  (/root/reference/bam2depth.c:209 semantics) in C++
+  (native/samtpu.cc samtpu_bench_depth).  samtools depth has no
+  multi-threaded compute (only codec threads), so a single-core C loop
+  IS the reference per-core rate; htslib is not in this image, so this
+  measured stand-in replaces an unbuildable samtools binary.
+* ours — the framework's depth path: threaded native inflate ->
+  required-fields columnar decode (C++) -> event build (numpy) ->
+  MXU-tiled segment-matmul depth kernel on the TPU
+  (ops/pileup_engine.depth_window_device).
+
+vs_baseline = ours_bases_per_s / baseline_bases_per_s, end-to-end.
+detail carries the stage breakdown and the kernel-only (device-resident
+steady-state) rate, which is the per-chip number that scales to
+multi-core hosts (this box has 2 CPUs and a ~100 MB/s host<->device
+tunnel; production hosts feed chips over PCIe).
 """
 
 from __future__ import annotations
 
 import json
-import sys
+import os
 import time
 
 import numpy as np
 
+REF_LEN = int(os.environ.get("SAMTPU_BENCH_MBP", "8")) << 20
+COVERAGE = 30.0
+READ_LEN = 100
+CACHE = f"/tmp/samtpu_bench_v2_{REF_LEN >> 20}m.bam"
 
-def main() -> int:
+
+def get_workload():
+    from samtools_tpu.sim import make_header, simulate_batch
+    from samtools_tpu.io.bam import write_bam
+    if not os.path.exists(CACHE):
+        batch = simulate_batch(ref_len=REF_LEN, coverage=COVERAGE,
+                               read_len=READ_LEN, seed=42, paired=False)
+        write_bam(CACHE + ".tmp", make_header(REF_LEN), batch, threads=2)
+        os.replace(CACHE + ".tmp", CACHE)
+    return CACHE
+
+
+def run_baseline(path: str) -> dict:
+    """Single-core reference pipeline: 1-thread inflate + C add_depth."""
+    from samtools_tpu.io import bgzf, native
+    raw = open(path, "rb").read()
+    t0 = time.perf_counter()
+    coffs, bsizes, isizes = native.bgzf_scan(raw)
+    body_arr = native.bgzf_inflate(raw, coffs, bsizes, int(isizes.sum()), 1)
+    t1 = time.perf_counter()
+    from samtools_tpu.io.bam import decode_header
+    _, off = decode_header(body_arr)
+    depth, nrec = native.bench_depth(body_arr[off:], 0, REF_LEN)
+    t2 = time.perf_counter()
+    return {"inflate_s": t1 - t0, "depth_loop_s": t2 - t1,
+            "total_s": t2 - t0, "nrec": nrec,
+            "depth": depth, "checksum": int(depth.sum())}
+
+
+def run_ours(path: str) -> dict:
+    """Framework depth path, stage-timed; device compute run twice so the
+    steady-state (compile-cached) rate is reported."""
+    import samtools_tpu.core.flags as F
+    from samtools_tpu.io import native
+    from samtools_tpu.io.bam import decode_header
+    from samtools_tpu.io.native import FIELD_CIGAR
+    from samtools_tpu.ops.pileup_engine import depth_window_device
+    from samtools_tpu.core.batch import ReadBatch
+
+    raw = open(path, "rb").read()
+    t0 = time.perf_counter()
+    coffs, bsizes, isizes = native.bgzf_scan(raw)
+    arr = native.bgzf_inflate(raw, coffs, bsizes, int(isizes.sum()), 2)
+    t1 = time.perf_counter()
+    _, off = decode_header(arr)
+    offs = native.bam_record_offsets(arr, off)
+    cols = native.bam_decode_columns(arr, offs, 2, fields=FIELD_CIGAR)
+    b = ReadBatch(n=offs.size)
+    for k, v in cols.items():
+        setattr(b, k, v)
+    t2 = time.perf_counter()
+    excl = F.FUNMAP | F.FSECONDARY | F.FQCFAIL | F.FDUP
+    sel = np.nonzero(((b.flag & excl) == 0) & (b.tid == 0))[0]
+    t3 = time.perf_counter()
+    depth = depth_window_device(b, sel, 0, REF_LEN, 0, False)
+    t4 = time.perf_counter()
+    depth = depth_window_device(b, sel, 0, REF_LEN, 0, False)  # steady
+    t5 = time.perf_counter()
+    return {"inflate_s": t1 - t0, "decode_s": t2 - t1,
+            "select_s": t3 - t2, "device_first_s": t4 - t3,
+            "device_s": t5 - t4,
+            "total_s": (t3 - t0) + (t5 - t4),
+            "nsel": int(sel.size), "checksum": int(depth.sum()),
+            "depth": depth}
+
+
+def kernel_only_rate() -> float:
+    """Device-resident steady-state kernel rate (aligned bases/s) for the
+    30x events formulation — the per-chip compute ceiling."""
+    from samtools_tpu.ops import pileup_engine as pe
+    from samtools_tpu.ops import pileup_pallas as pp
     import jax
+    rng = np.random.RandomState(0)
+    n_reads = int(REF_LEN * COVERAGE / READ_LEN)
+    pos = np.sort(rng.randint(0, REF_LEN - READ_LEN, n_reads)).astype(
+        np.int64)
+    ev = np.empty(2 * n_reads, np.int64)
+    ev[0::2] = pos
+    ev[1::2] = pos + READ_LEN
+    W = np.empty((2 * n_reads, 1), np.int8)
+    W[0::2] = 1
+    W[1::2] = -1
+    off = np.arange(0, 2 * n_reads + 1, 2, dtype=np.int64)
+    tile = pe.pick_tile(REF_LEN)
+    plan = pe.tile_plan(pos, pos + READ_LEN + 1, off, 0, REF_LEN, tile=tile)
+    n_tiles_pad = pe.padded_tiles(plan.n_tiles)
+    lo = np.zeros(n_tiles_pad, np.int32)
+    hi = np.zeros(n_tiles_pad, np.int32)
+    lo[:plan.n_tiles] = plan.lo
+    hi[:plan.n_tiles] = plan.hi
+    kb = pp.KB
+    _, _, B_pad, n_pad = pp._shapes(ev, lo, hi, plan.B, kb)
+    rp = pp._pad_rows(ev.astype(np.int32), n_pad, np.iinfo(np.int32).min)
+    rp3 = jax.device_put(rp.reshape(-1, 1, kb))
+    pack_w, _ = pp._packer(kb)
+    w3 = pack_w(pp._pad_rows(np.ascontiguousarray(W, np.int8), n_pad))
+    w3.block_until_ready()
+    interpret = jax.devices()[0].platform != "tpu"
 
-    from samtools_tpu.io.files import read_alignments
-    from samtools_tpu.ops.pileup_device import (expand_to_device_arrays,
-                                                pileup_counts)
-
-    f = read_alignments("/root/reference/examples/ex1.sam.gz")
-    b = f.batch
-    sel = np.nonzero((b.tid >= 0) & ((b.flag & 4) == 0))[0]
-
-    refpos, lane, qual, valid = expand_to_device_arrays(b, sel, 0, 1 << 25)
-    # tile to ~2M reads' worth of bases spread over a 32Mb window
-    reps = max(1, (2_000_000 // max(sel.size, 1)))
-    span = int(refpos.max()) + 1
-    parts = []
-    for r in range(reps):
-        shift = (r * 524_287) % ((1 << 25) - span)
-        parts.append(refpos + np.int32(shift))
-    refpos_t = np.concatenate(parts)
-    lane_t = np.tile(lane, reps)
-    valid_t = np.ones(refpos_t.size, bool)
-    window = 1 << 25
-    n_bases = refpos_t.size
-    n_reads = sel.size * reps
-
-    dev_fn = lambda: pileup_counts(refpos_t, lane_t, valid_t, window)
-    out = dev_fn()
-    out.block_until_ready()  # compile + warm
+    def run():
+        return pp._run(rp3, w3, lo, hi, 0, n_tiles_pad, B_pad // kb,
+                       interpret, tile, kb)
+    np.asarray(run()[:8])
     t0 = time.perf_counter()
     iters = 5
     for _ in range(iters):
-        out = dev_fn()
-    out.block_until_ready()
+        np.asarray(run()[:8])
     dt = (time.perf_counter() - t0) / iters
-    dev_bases_per_s = n_bases / dt
-    dev_reads_per_s = n_reads / dt
+    return n_reads * READ_LEN / dt
 
-    # host numpy baseline (single pass)
-    t0 = time.perf_counter()
-    counts = np.zeros((window, 32), np.int32)
-    np.add.at(counts, (refpos_t, lane_t), 1)
-    host_dt = time.perf_counter() - t0
-    host_bases_per_s = n_bases / host_dt
 
-    print(json.dumps({
-        "metric": "pileup_scatter_aligned_bases_per_s",
-        "value": round(dev_bases_per_s),
+def main() -> int:
+    import jax  # noqa: F401  (device availability up front)
+    path = get_workload()
+    ours = run_ours(path)
+    base = run_baseline(path)
+    assert ours["checksum"] == base["checksum"], (
+        "depth mismatch vs baseline", ours["checksum"], base["checksum"])
+    assert np.array_equal(np.asarray(ours.pop("depth"), np.int64),
+                          base.pop("depth").astype(np.int64))
+    n_bases = base["nrec"] * READ_LEN
+    ours_rate = n_bases / ours["total_s"]
+    base_rate = n_bases / base["total_s"]
+    try:
+        kern = kernel_only_rate()
+    except Exception:
+        kern = 0.0
+    import jax
+    out = {
+        "metric": "depth_30x_aligned_bases_per_s",
+        "value": int(ours_rate),
         "unit": "bases/s",
-        "vs_baseline": round(dev_bases_per_s / host_bases_per_s, 2),
+        "vs_baseline": round(ours_rate / base_rate, 2),
         "detail": {
-            "reads_per_s": round(dev_reads_per_s),
-            "n_bases": int(n_bases),
-            "window": window,
+            "workload": f"{REF_LEN >> 20}Mbp x {COVERAGE}x, "
+                        f"{base['nrec']} reads",
+            "ours_s": {k: round(v, 3) for k, v in ours.items()
+                       if k.endswith("_s")},
+            "baseline_s": {k: round(v, 3) for k, v in base.items()
+                           if k.endswith("_s")},
+            "baseline_bases_per_s": int(base_rate),
+            "kernel_only_bases_per_s": int(kern),
+            "kernel_vs_baseline_core": round(
+                kern / (n_bases / base["depth_loop_s"]), 2)
+            if base["depth_loop_s"] > 0 and kern else None,
             "device": str(jax.devices()[0]),
-            "host_numpy_bases_per_s": round(host_bases_per_s),
         },
-    }))
+    }
+    print(json.dumps(out))
     return 0
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    raise SystemExit(main())

@@ -19,7 +19,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from ..core.batch import ReadBatch, ragged_gather_indices
-from . import bgzf
+from . import bgzf, native
 from .header import SamHeader
 
 BAM_MAGIC = b"BAM\1"
@@ -70,20 +70,38 @@ def scan_record_offsets(data: np.ndarray, start: int) -> np.ndarray:
 
 
 def decode_header(data: np.ndarray) -> tuple[SamHeader, int]:
-    """Parse BAM header; return (header, offset_of_first_record)."""
-    buf = data.tobytes() if isinstance(data, np.ndarray) else data
-    if buf[:4] != BAM_MAGIC:
+    """Parse BAM header; return (header, offset_of_first_record).
+
+    Only the header region is materialized as bytes — never the whole
+    body (GB-scale copies dominated decode time otherwise).
+    """
+    if isinstance(data, np.ndarray):
+        head = data[:8].tobytes()
+    else:
+        head = bytes(data[:8])
+    if head[:4] != BAM_MAGIC:
         raise BamError("not a BAM stream (bad magic)")
-    l_text = struct.unpack_from("<i", buf, 4)[0]
-    text = buf[8:8 + l_text].split(b"\0", 1)[0].decode("latin-1")
-    off = 8 + l_text
-    n_ref = struct.unpack_from("<i", buf, off)[0]
-    off += 4
+    l_text = struct.unpack_from("<i", head, 4)[0]
+    # refs follow the text; parse a generous window incrementally
+    win_end = 8 + l_text + 4
+    buf = (data[4:win_end].tobytes() if isinstance(data, np.ndarray)
+           else bytes(data[4:win_end]))
+    text = buf[4:4 + l_text].split(b"\0", 1)[0].decode("latin-1")
+    n_ref = struct.unpack_from("<i", buf, 4 + l_text)[0]
+    off = win_end
     names, lens = [], []
     for _ in range(n_ref):
-        l_name = struct.unpack_from("<i", buf, off)[0]
-        names.append(buf[off + 4:off + 4 + l_name - 1].decode("latin-1"))
-        lens.append(struct.unpack_from("<i", buf, off + 4 + l_name)[0])
+        hdr8 = (data[off:off + 8].tobytes()
+                if isinstance(data, np.ndarray) else bytes(data[off:off + 8]))
+        l_name = struct.unpack_from("<i", hdr8, 0)[0]
+        nm = (data[off + 4:off + 4 + l_name - 1].tobytes()
+              if isinstance(data, np.ndarray)
+              else bytes(data[off + 4:off + 4 + l_name - 1]))
+        names.append(nm.decode("latin-1"))
+        ln8 = (data[off + 4 + l_name:off + 8 + l_name].tobytes()
+               if isinstance(data, np.ndarray)
+               else bytes(data[off + 4 + l_name:off + 8 + l_name]))
+        lens.append(struct.unpack_from("<i", ln8, 0)[0])
         off += 8 + l_name
     return SamHeader.from_text(text, names, lens), off
 
@@ -119,12 +137,22 @@ def pack_nibbles(codes: np.ndarray, lens: np.ndarray) -> np.ndarray:
     return (staging[0::2] << 4) | staging[1::2]
 
 
-def decode_records(data: np.ndarray, start: int) -> ReadBatch:
+def decode_records(data: np.ndarray, start: int,
+                   threads: int = 0) -> ReadBatch:
     """Decode all records at data[start:] into a ReadBatch (vectorized)."""
     offs = scan_record_offsets(data, start)
     n = offs.size
     b = ReadBatch(n=n)
     if n == 0:
+        return b
+    if native.available():
+        try:
+            cols = native.bam_decode_columns(data, offs, threads or 2)
+        except ValueError as e:
+            raise BamError(f"corrupt BAM: {e}") from None
+        for k, v in cols.items():
+            setattr(b, k, v)
+        _fixup_long_cigars(b)
         return b
     # fixed fields: gather 36 bytes per record then reinterpret
     fixed_bytes = data[offs[:, None] + np.arange(FIXED_SIZE)]

@@ -107,13 +107,24 @@ def _native():
     return None
 
 
+def decompress_arr(data: bytes, threads: int = 0) -> np.ndarray:
+    """Inflate an entire BGZF byte buffer to one uint8 array (zero-copy
+    relative to the native inflate output; prefer for large BAM bodies)."""
+    nat = _native()
+    if nat is not None:
+        coffs, bsizes, isizes = nat.bgzf_scan(data)
+        return nat.bgzf_inflate(data, coffs, bsizes, int(isizes.sum()),
+                                max(threads, 2))
+    return np.frombuffer(decompress(data, threads), np.uint8)
+
+
 def decompress(data: bytes, threads: int = 0) -> bytes:
     """Inflate an entire BGZF byte buffer to one contiguous bytes object."""
     nat = _native()
     if nat is not None:
         coffs, bsizes, isizes = nat.bgzf_scan(data)
         return nat.bgzf_inflate(data, coffs, bsizes, int(isizes.sum()),
-                                max(threads, 2))
+                                max(threads, 2)).tobytes()
     coffs, bsizes = scan_blocks(data)
     if threads and len(coffs) > 4:
         with ThreadPoolExecutor(max_workers=threads) as ex:
@@ -132,7 +143,7 @@ def decompress_with_index(data: bytes, threads: int = 0):
     if nat is not None:
         coffs, bsizes, isizes = nat.bgzf_scan(data)
         out = nat.bgzf_inflate(data, coffs, bsizes, int(isizes.sum()),
-                               max(threads, 2))
+                               max(threads, 2)).tobytes()
         uoffs = np.zeros(len(coffs) + 1, np.int64)
         np.cumsum(isizes, out=uoffs[1:])
         return out, coffs, uoffs

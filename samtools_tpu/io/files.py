@@ -75,14 +75,20 @@ def _read_from_bytes(data: bytes, threads: int = 0) -> AlignmentFile:
     fmt = "sam"
     if data[:2] == b"\x1f\x8b":
         if bgzf.is_bgzf(data):
-            data = bgzf.decompress(data, threads=threads)
+            arr = bgzf.decompress_arr(data, threads=threads)
+            if arr[:4].tobytes() == b"BAM\1":
+                header, off = bamio.decode_header(arr)
+                batch = bamio.decode_records(arr, off, threads=threads)
+                return AlignmentFile(header=header, batch=batch,
+                                     format="bam")
+            data = arr.tobytes()
         else:
             import zlib
             data = zlib.decompress(data, 47)
     if data[:4] == b"BAM\1":
         arr = np.frombuffer(data, np.uint8)
         header, off = bamio.decode_header(arr)
-        batch = bamio.decode_records(arr, off)
+        batch = bamio.decode_records(arr, off, threads=threads)
         return AlignmentFile(header=header, batch=batch, format="bam")
     header, batch = parse_sam(data)
     return AlignmentFile(header=header, batch=batch, format=fmt)

@@ -110,6 +110,20 @@ def _load():
         lib.samtpu_crc32.argtypes = [
             ctypes.c_uint32, ctypes.c_void_p, ctypes.c_int64,
         ]
+        lib.samtpu_bam_decode_sizes.restype = ctypes.c_int64
+        lib.samtpu_bam_decode_sizes.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int64] + [ctypes.c_void_p] * 4
+        lib.samtpu_bam_decode_fill.restype = ctypes.c_int64
+        lib.samtpu_bam_decode_fill.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int64] + [ctypes.c_void_p] * 16 + [ctypes.c_int] * 2
+        lib.samtpu_bench_depth.restype = ctypes.c_int64
+        lib.samtpu_bench_depth.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int,
+        ]
         _lib = lib
     except OSError:
         _lib = None
@@ -177,7 +191,7 @@ def bgzf_inflate(data, coffs: np.ndarray, bsizes: np.ndarray,
                    -3: "uncompressed size mismatch"}
         raise BgzfError("native BGZF inflate failed: %s (code %d, %d blocks)"
                         % (reasons.get(int(got), "error"), got, nblk))
-    return out[:got].tobytes()
+    return out[:got]
 
 
 def bgzf_deflate(data, level: int, block_size: int, threads: int) -> bytes:
@@ -202,3 +216,82 @@ def crc32(data, seed: int = 0) -> int:
     lib = _load()
     src = np.frombuffer(data, np.uint8)
     return int(lib.samtpu_crc32(seed & 0xFFFFFFFF, src.ctypes.data, src.size))
+
+
+FIELD_QNAME, FIELD_CIGAR, FIELD_SEQ, FIELD_QUAL, FIELD_AUX = 1, 2, 4, 8, 16
+FIELD_ALL = 31
+
+
+def bam_decode_columns(data: np.ndarray, offs: np.ndarray, threads: int,
+                       fields: int = FIELD_ALL):
+    """Decode BAM records into columnar arrays (C++ two-pass: sizes then
+    record-parallel fill).  Returns a dict of ReadBatch field arrays.
+
+    ``fields`` selects ragged columns (FIELD_* bitmask) — the htslib CRAM
+    required-fields analog; skipped columns come back empty with zero
+    offsets.  Raises ValueError on corrupt records (negative aux length /
+    overrun), matching the numpy path's BamError semantics at the caller.
+    """
+    lib = _load()
+    data = np.ascontiguousarray(data)
+    offs = np.ascontiguousarray(offs, np.int64)
+    n = int(offs.size)
+    qname_off = np.empty(n + 1, np.int64)
+    cigar_off = np.empty(n + 1, np.int64)
+    seq_off = np.empty(n + 1, np.int64)
+    aux_off = np.empty(n + 1, np.int64)
+    rc = lib.samtpu_bam_decode_sizes(
+        data.ctypes.data, data.size, offs.ctypes.data, n,
+        qname_off.ctypes.data, cigar_off.ctypes.data,
+        seq_off.ctypes.data, aux_off.ctypes.data)
+    if rc < 0:
+        raise ValueError("corrupt BAM record (native decode sizes)")
+    cols = dict(
+        tid=np.empty(n, np.int32), pos=np.empty(n, np.int64),
+        mapq=np.empty(n, np.uint8), flag=np.empty(n, np.uint16),
+        mtid=np.empty(n, np.int32), mpos=np.empty(n, np.int64),
+        tlen=np.empty(n, np.int64),
+        qname=np.empty(qname_off[-1] if fields & FIELD_QNAME else 0,
+                       np.uint8),
+        cigar=np.empty(cigar_off[-1] if fields & FIELD_CIGAR else 0,
+                       np.uint32),
+        seq=np.empty(seq_off[-1] if fields & FIELD_SEQ else 0, np.uint8),
+        qual=np.empty(seq_off[-1] if fields & FIELD_QUAL else 0, np.uint8),
+        aux=np.empty(aux_off[-1] if fields & FIELD_AUX else 0, np.uint8))
+    rc = lib.samtpu_bam_decode_fill(
+        data.ctypes.data, data.size, offs.ctypes.data, n,
+        qname_off.ctypes.data, cigar_off.ctypes.data,
+        seq_off.ctypes.data, aux_off.ctypes.data,
+        cols["tid"].ctypes.data, cols["pos"].ctypes.data,
+        cols["mapq"].ctypes.data, cols["flag"].ctypes.data,
+        cols["mtid"].ctypes.data, cols["mpos"].ctypes.data,
+        cols["tlen"].ctypes.data, cols["qname"].ctypes.data,
+        cols["cigar"].ctypes.data, cols["seq"].ctypes.data,
+        cols["qual"].ctypes.data, cols["aux"].ctypes.data,
+        fields, max(1, threads))
+    if rc < 0:
+        raise ValueError("corrupt BAM record (native decode fill)")
+    zero = np.zeros(n + 1, np.int64)
+    cols["qname_off"] = qname_off if fields & FIELD_QNAME else zero
+    cols["cigar_off"] = cigar_off if fields & FIELD_CIGAR else zero
+    # seq and qual share offsets; keep them if either column was decoded
+    cols["seq_off"] = (seq_off if fields & (FIELD_SEQ | FIELD_QUAL)
+                       else zero)
+    cols["aux_off"] = aux_off if fields & FIELD_AUX else zero
+    return cols
+
+
+def bench_depth(body: np.ndarray, tid: int, ref_len: int,
+                excl_flags: int = 0x704, min_mapq: int = 0,
+                min_qual: int = 0) -> tuple[np.ndarray, int]:
+    """Reference-style single-core depth loop (bam2depth.c:209 add_depth
+    semantics) — the measured CPU baseline for bench.py."""
+    lib = _load()
+    body = np.ascontiguousarray(body)
+    depth = np.zeros(ref_len, np.int32)
+    got = lib.samtpu_bench_depth(body.ctypes.data, body.size, tid,
+                                 depth.ctypes.data, ref_len, excl_flags,
+                                 min_mapq, min_qual)
+    if got < 0:
+        raise ValueError("corrupt BAM record (bench depth)")
+    return depth, int(got)

@@ -237,6 +237,214 @@ int64_t samtpu_bgzf_deflate(const uint8_t* src, int64_t n, int level,
 
 // ---------------------------------------------------------------------------
 // CRC32 (BAM/stats checksums use zlib polynomial).
+// ---------------------------------------------------------------------------
+// Columnar BAM record decode (the htslib sam_read1 loop, SoA).  Two passes:
+// sizes (ragged prefix sums) then a record-range-parallel field fill.
+// Record layout per SAM spec 4.2; seq nibbles unpack to one byte/base.
+
+static const int kFixed = 36;  // block_size..tlen fixed header bytes
+
+// Writes nrec+1 prefix sums per ragged column.  Returns 0 or
+//   -1 record overruns the buffer / negative aux length.
+int64_t samtpu_bam_decode_sizes(const uint8_t* data, int64_t n,
+                                const int64_t* offs, int64_t nrec,
+                                int64_t* qname_off, int64_t* cigar_off,
+                                int64_t* seq_off, int64_t* aux_off) {
+  int64_t q = 0, c = 0, s = 0, a = 0;
+  qname_off[0] = cigar_off[0] = seq_off[0] = aux_off[0] = 0;
+  for (int64_t i = 0; i < nrec; ++i) {
+    int64_t off = offs[i];
+    if (off + kFixed > n) return -1;
+    uint32_t bs;
+    std::memcpy(&bs, data + off, 4);
+    if (off + 4 + (int64_t)bs > n || bs < (uint32_t)(kFixed - 4)) return -1;
+    uint8_t l_read_name = data[off + 12];
+    uint16_t n_cigar;
+    std::memcpy(&n_cigar, data + off + 16, 2);
+    int32_t l_seq;
+    std::memcpy(&l_seq, data + off + 20, 4);
+    if (l_seq < 0 || l_read_name == 0) return -1;
+    int64_t body = (int64_t)l_read_name + 4 * (int64_t)n_cigar +
+                   ((int64_t)l_seq + 1) / 2 + l_seq;
+    int64_t aux_len = (int64_t)bs - (kFixed - 4) - body;
+    if (aux_len < 0) return -1;
+    q += l_read_name - 1;
+    c += n_cigar;
+    s += l_seq;
+    a += aux_len;
+    qname_off[i + 1] = q;
+    cigar_off[i + 1] = c;
+    seq_off[i + 1] = s;
+    aux_off[i + 1] = a;
+  }
+  return 0;
+}
+
+// fields bitmask: 1=qname 2=cigar 4=seq 8=qual 16=aux (fixed columns are
+// always filled) — the htslib CRAM required-fields analog: tools that only
+// need flags/cigar skip the nibble unpack and qual/aux copies entirely.
+static void decode_fill_range(const uint8_t* data, const int64_t* offs,
+                              const int64_t* qname_off,
+                              const int64_t* cigar_off,
+                              const int64_t* seq_off, const int64_t* aux_off,
+                              int32_t* tid, int64_t* pos, uint8_t* mapq,
+                              uint16_t* flag, int32_t* mtid, int64_t* mpos,
+                              int64_t* tlen, uint8_t* qname, uint32_t* cigar,
+                              uint8_t* seq, uint8_t* qual, uint8_t* aux,
+                              int fields, int64_t lo, int64_t hi) {
+  for (int64_t i = lo; i < hi; ++i) {
+    const uint8_t* r = data + offs[i];
+    uint32_t bs;
+    std::memcpy(&bs, r, 4);
+    int32_t v32;
+    std::memcpy(&v32, r + 4, 4);
+    tid[i] = v32;
+    std::memcpy(&v32, r + 8, 4);
+    pos[i] = v32;
+    uint8_t l_read_name = r[12];
+    mapq[i] = r[13];
+    uint16_t n_cigar;
+    std::memcpy(&n_cigar, r + 16, 2);
+    std::memcpy(&flag[i], r + 18, 2);
+    int32_t l_seq;
+    std::memcpy(&l_seq, r + 20, 4);
+    std::memcpy(&v32, r + 24, 4);
+    mtid[i] = v32;
+    std::memcpy(&v32, r + 28, 4);
+    mpos[i] = v32;
+    std::memcpy(&v32, r + 32, 4);
+    tlen[i] = v32;
+    const uint8_t* p = r + kFixed;
+    if (fields & 1)
+      std::memcpy(qname + qname_off[i], p, (size_t)l_read_name - 1);
+    p += l_read_name;
+    if (fields & 2) std::memcpy(cigar + cigar_off[i], p, 4 * (size_t)n_cigar);
+    p += 4 * (size_t)n_cigar;
+    if (fields & 4) {
+      uint8_t* sq = seq + seq_off[i];
+      int64_t half = l_seq / 2;
+      for (int64_t j = 0; j < half; ++j) {
+        uint8_t b = p[j];
+        sq[2 * j] = b >> 4;
+        sq[2 * j + 1] = b & 0xF;
+      }
+      if (l_seq & 1) sq[l_seq - 1] = p[half] >> 4;
+    }
+    p += (l_seq + 1) / 2;
+    if (fields & 8) std::memcpy(qual + seq_off[i], p, (size_t)l_seq);
+    p += l_seq;
+    if (fields & 16) {
+      int64_t aux_len = aux_off[i + 1] - aux_off[i];
+      std::memcpy(aux + aux_off[i], p, (size_t)aux_len);
+    }
+    (void)bs;
+  }
+}
+
+// Fill all columns; flats must be sized per the *_off prefix sums.
+int64_t samtpu_bam_decode_fill(
+    const uint8_t* data, int64_t n, const int64_t* offs, int64_t nrec,
+    const int64_t* qname_off, const int64_t* cigar_off,
+    const int64_t* seq_off, const int64_t* aux_off, int32_t* tid,
+    int64_t* pos, uint8_t* mapq, uint16_t* flag, int32_t* mtid, int64_t* mpos,
+    int64_t* tlen, uint8_t* qname, uint32_t* cigar, uint8_t* seq,
+    uint8_t* qual, uint8_t* aux, int fields, int threads) {
+  (void)n;
+  if (nrec == 0) return 0;
+  int nt = threads > 1 ? threads : 1;
+  if (nt > nrec) nt = (int)nrec;
+  if (nt <= 1) {
+    decode_fill_range(data, offs, qname_off, cigar_off, seq_off, aux_off, tid,
+                      pos, mapq, flag, mtid, mpos, tlen, qname, cigar, seq,
+                      qual, aux, fields, 0, nrec);
+    return nrec;
+  }
+  std::vector<std::thread> ws;
+  int64_t per = (nrec + nt - 1) / nt;
+  for (int t = 0; t < nt; ++t) {
+    int64_t lo = t * per, hi = lo + per < nrec ? lo + per : nrec;
+    if (lo >= hi) break;
+    ws.emplace_back([=] {
+      decode_fill_range(data, offs, qname_off, cigar_off, seq_off, aux_off,
+                        tid, pos, mapq, flag, mtid, mpos, tlen, qname, cigar,
+                        seq, qual, aux, fields, lo, hi);
+    });
+  }
+  for (auto& w : ws) w.join();
+  return nrec;
+}
+
+// ---------------------------------------------------------------------------
+// Reference depth hot loop (bam2depth.c:209 add_depth semantics) over a
+// decoded BAM body — the measured CPU baseline for bench.py.  Walks
+// block_size-prefixed records; default-filter flags excluded by caller's
+// excl mask; M/=/X ops increment depth (per-base qual-gated if min_qual>0).
+// Returns records counted, or -1 on corrupt record.
+int64_t samtpu_bench_depth(const uint8_t* data, int64_t n, int32_t want_tid,
+                           int32_t* depth, int64_t ref_len, int excl_flags,
+                           int min_mapq, int min_qual) {
+  int64_t off = 0, cnt = 0;
+  while (off + 4 <= n) {
+    uint32_t bs;
+    std::memcpy(&bs, data + off, 4);
+    if (bs == 0 || off + 4 + (int64_t)bs > n) return -1;
+    const uint8_t* r = data + off;
+    off += 4 + (int64_t)bs;
+    int32_t tid;
+    std::memcpy(&tid, r + 4, 4);
+    uint16_t flag;
+    std::memcpy(&flag, r + 18, 2);
+    if (tid != want_tid || (flag & excl_flags)) continue;
+    if (r[13] < min_mapq) continue;
+    int32_t pos;
+    std::memcpy(&pos, r + 8, 4);
+    uint8_t l_read_name = r[12];
+    uint16_t n_cigar;
+    std::memcpy(&n_cigar, r + 16, 2);
+    int32_t l_seq;
+    std::memcpy(&l_seq, r + 20, 4);
+    const uint32_t* cig =
+        reinterpret_cast<const uint32_t*>(r + kFixed + l_read_name);
+    const uint8_t* qual =
+        r + kFixed + l_read_name + 4 * n_cigar + (l_seq + 1) / 2;
+    int64_t rp = pos, qp = 0;
+    for (uint16_t k = 0; k < n_cigar; ++k) {
+      uint32_t op = cig[k] & 0xF, len = cig[k] >> 4;
+      switch (op) {
+        case 0:  // M
+        case 7:  // =
+        case 8:  // X
+          if (min_qual == 0) {
+            int64_t lo = rp < 0 ? 0 : rp;
+            int64_t hi = rp + len > ref_len ? ref_len : rp + len;
+            for (int64_t p2 = lo; p2 < hi; ++p2) depth[p2]++;
+          } else {
+            for (uint32_t j = 0; j < len; ++j) {
+              int64_t p2 = rp + j;
+              if (p2 >= 0 && p2 < ref_len && qual[qp + j] >= min_qual)
+                depth[p2]++;
+            }
+          }
+          rp += len;
+          qp += len;
+          break;
+        case 1:  // I
+        case 4:  // S
+          qp += len;
+          break;
+        case 2:  // D
+        case 3:  // N
+          rp += len;
+          break;
+        default:
+          break;  // H/P consume nothing
+      }
+    }
+    ++cnt;
+  }
+  return cnt;
+}
+
 uint32_t samtpu_crc32(uint32_t seed, const uint8_t* data, int64_t n) {
   return libdeflate_crc32(seed, data, (size_t)n);
 }

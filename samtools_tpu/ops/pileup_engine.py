@@ -60,12 +60,14 @@ class TilePlan:
                               length may exceed B; extra passes advance lo)
     """
 
-    __slots__ = ("lo", "hi", "n_tiles", "B", "passes", "wbeg", "wlen")
+    __slots__ = ("lo", "hi", "n_tiles", "B", "passes", "wbeg", "wlen",
+                 "tile")
 
-    def __init__(self, lo, hi, n_tiles, B, passes, wbeg, wlen):
+    def __init__(self, lo, hi, n_tiles, B, passes, wbeg, wlen, tile=TILE):
         self.lo, self.hi = lo, hi
         self.n_tiles, self.B, self.passes = n_tiles, B, passes
         self.wbeg, self.wlen = wbeg, wlen
+        self.tile = tile
 
 
 def _bucket(n: int, lo: int = 256, cap: int = 1 << 14) -> int:
@@ -76,9 +78,20 @@ def _bucket(n: int, lo: int = 256, cap: int = 1 << 14) -> int:
     return b
 
 
+def pick_tile(wlen: int) -> int:
+    """Tile size by window length: large windows amortize the per-tile
+    fixed cost (DMA issue + grid step); small windows keep compile
+    shapes small."""
+    if wlen >= 1 << 21:
+        return 1024
+    if wlen >= 1 << 17:
+        return 512
+    return TILE
+
+
 def tile_plan(read_pos: np.ndarray, read_end: np.ndarray,
               item_off: np.ndarray, wbeg: int, wlen: int,
-              max_b: int = 1 << 14) -> TilePlan:
+              max_b: int = 1 << 14, tile: int | None = None) -> TilePlan:
     """Build per-tile item slices for a window [wbeg, wbeg+wlen).
 
     read_pos/read_end: per-read reference start / exclusive end, reads in
@@ -87,16 +100,18 @@ def tile_plan(read_pos: np.ndarray, read_end: np.ndarray,
     items must carry positions within [read_pos, read_end] (items outside
     are allowed if they self-cancel, e.g. +1/-1 at the same position).
     """
-    n_tiles = max(1, (wlen + TILE - 1) // TILE)
-    starts = wbeg + np.arange(n_tiles, dtype=np.int64) * TILE
+    if tile is None:
+        tile = pick_tile(wlen)
+    n_tiles = max(1, (wlen + tile - 1) // tile)
+    starts = wbeg + np.arange(n_tiles, dtype=np.int64) * tile
     if read_pos.size == 0:
         lo = np.zeros(n_tiles, np.int32)
-        return TilePlan(lo, lo.copy(), n_tiles, 256, 1, wbeg, wlen)
+        return TilePlan(lo, lo.copy(), n_tiles, 256, 1, wbeg, wlen, tile)
     cummax_end = np.maximum.accumulate(read_end)
     # first read that can still touch the tile (end >= tile start)
     lo_read = np.searchsorted(cummax_end, starts, side="left")
     # first read starting at/after the tile end
-    hi_read = np.searchsorted(read_pos, starts + TILE, side="left")
+    hi_read = np.searchsorted(read_pos, starts + tile, side="left")
     hi_read = np.maximum(hi_read, lo_read)
     lo = item_off[lo_read].astype(np.int64)
     hi = item_off[hi_read].astype(np.int64)
@@ -104,7 +119,7 @@ def tile_plan(read_pos: np.ndarray, read_end: np.ndarray,
     B = _bucket(max(width, 1), cap=max_b)
     passes = max(1, -(-width // B))
     return TilePlan(lo.astype(np.int32), hi.astype(np.int32),
-                    n_tiles, B, passes, wbeg, wlen)
+                    n_tiles, B, passes, wbeg, wlen, tile)
 
 
 # ------------------------------------------------------------------- kernel
@@ -114,9 +129,10 @@ def _segmm_jit():
     import jax.numpy as jnp
 
     @partial(jax.jit,
-             static_argnames=("B", "chunk", "n_tiles_pad", "out_int"))
+             static_argnames=("B", "chunk", "n_tiles_pad", "out_int",
+                              "tile"))
     def segmm(refpos, W, lo, hi, wbeg, B: int, chunk: int,
-              n_tiles_pad: int, out_int: bool):
+              n_tiles_pad: int, out_int: bool, tile: int = TILE):
         """out[t*TILE + p, k] = sum over items in slice [lo_t, hi_t) with
         refpos == wbeg + t*TILE + p of W[item, k].
 
@@ -139,11 +155,11 @@ def _segmm_jit():
             live = idx < hi_c[:, None]
             idxc = jnp.clip(idx, 0, max(n - 1, 0))
             rp = refpos[idxc]                            # [C, B]
-            posrel = rp - (wbeg + tid[:, None] * TILE)
-            ok = live & (posrel >= 0) & (posrel < TILE)
-            # OOB -> class TILE -> all-zero one-hot row
-            cls = jnp.where(ok, posrel, TILE)
-            p1h = jax.nn.one_hot(cls, TILE, dtype=W.dtype, axis=-1)
+            posrel = rp - (wbeg + tid[:, None] * tile)
+            ok = live & (posrel >= 0) & (posrel < tile)
+            # OOB -> class `tile` -> all-zero one-hot row
+            cls = jnp.where(ok, posrel, tile)
+            p1h = jax.nn.one_hot(cls, tile, dtype=W.dtype, axis=-1)
             Wg = W[idxc]                                 # [C, B, K]
             acc = jnp.float32 if not out_int else jnp.int32
             out = jnp.einsum("cbt,cbk->ctk", p1h, Wg,
@@ -151,7 +167,7 @@ def _segmm_jit():
             return carry, out
 
         _, outs = jax.lax.scan(body, 0, tids)
-        out = outs.reshape(n_tiles_pad * TILE, K)
+        out = outs.reshape(n_tiles_pad * tile, K)
         return out
 
     return segmm
@@ -200,13 +216,13 @@ def segment_matmul(refpos: np.ndarray, W: np.ndarray, plan: TilePlan,
     K = W.shape[1]
     if refpos.size == 0:
         dt = jnp.int32 if out_int else jnp.float32
-        return jnp.zeros((n_tiles_pad * TILE, K), dt)
+        return jnp.zeros((n_tiles_pad * plan.tile, K), dt)
     if out_int:
         from . import pileup_pallas as pp
         if pp.available():
             out = pp.segment_matmul_pallas(
                 refpos, np.ascontiguousarray(W, np.int8), lo, hi,
-                plan.wbeg, n_tiles_pad, plan.B)
+                plan.wbeg, n_tiles_pad, plan.B, tile=plan.tile)
             return out.astype(jnp.int32)
     # pad item arrays to a power-of-two length; padded rows sit beyond
     # every hi bound so the kernel's `live` mask never reads them
@@ -220,7 +236,7 @@ def segment_matmul(refpos: np.ndarray, W: np.ndarray, plan: TilePlan,
     for _ in range(plan.passes):
         out = segmm(rp, Wp, cur_lo, hi, np.int32(plan.wbeg),
                     B=plan.B, chunk=chunk, n_tiles_pad=n_tiles_pad,
-                    out_int=out_int)
+                    out_int=out_int, tile=plan.tile)
         total = out if total is None else total + out
         if plan.passes > 1:
             cur_lo = np.minimum(cur_lo + plan.B, hi).astype(np.int32)
@@ -331,17 +347,19 @@ def depth_window_device(batch, sel: np.ndarray, wbeg: int, wend: int,
     rpos_b = np.minimum(np.maximum(rpos_reads, wbeg), wend)
     rend_b = np.minimum(np.maximum(rend_reads, wbeg), wend) + 1
 
+    tile = pick_tile(L)
+
     def run(pos, w, rid):
         order = np.argsort(rid, kind="stable")
         pos, w, rid = pos[order], w[order], rid[order]
         cnt = np.bincount(rid, minlength=sub.n)
         off = np.zeros(sub.n + 1, np.int64)
         np.cumsum(cnt, out=off[1:])
-        plan = tile_plan(rpos_b, rend_b, off, wbeg, L)
+        plan = tile_plan(rpos_b, rend_b, off, wbeg, L, tile=tile)
         return segment_matmul(pos, w, plan)
 
     import jax.numpy as jnp
-    n_tiles_pad_len = padded_tiles(max(1, (L + TILE - 1) // TILE)) * TILE
+    n_tiles_pad_len = padded_tiles(max(1, (L + tile - 1) // tile)) * tile
 
     if ev_pos_parts:
         ev_pos = np.concatenate(ev_pos_parts)
@@ -410,7 +428,8 @@ def pileup_census(batch, sel: np.ndarray, wbeg: int, wend: int,
         lo[:plan.n_tiles] = plan.lo
         hi[:plan.n_tiles] = plan.hi
         out = pp.census_pallas(refpos, lane.astype(np.uint8), qual, min_qual,
-                               lo, hi, wbeg, n_tiles_pad, plan.B)
+                               lo, hi, wbeg, n_tiles_pad, plan.B,
+                               tile=plan.tile)
     else:
         W = base_lane_weights(lane, qual, min_qual)
         out = segment_matmul(refpos, W, plan)

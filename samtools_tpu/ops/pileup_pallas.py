@@ -38,7 +38,7 @@ KP = 32      # weight columns padded to the int8 sublane tile
 
 @functools.lru_cache(maxsize=None)
 def _build(n_blk: int, n_tiles: int, interpret: bool,
-           TILE: int = TILE, KB: int = KB):
+           TILE: int, KB: int):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -161,7 +161,7 @@ def available() -> bool:
 
 
 @functools.lru_cache(maxsize=None)
-def _packer():
+def _packer(kb=KB):
     """Jitted device-side packing: row-major items -> block/lane-major
     kernel layout (host-side numpy transposes of hundreds of MB are
     orders of magnitude slower than one XLA transpose)."""
@@ -171,18 +171,18 @@ def _packer():
     @jax.jit
     def pack_w(W):
         n_pad, K = W.shape
-        nb = n_pad // KB
+        nb = n_pad // kb
         Wp = (jnp.pad(W, ((0, 0), (0, KP - K))) if K < KP else W)
-        return Wp.reshape(nb, KB, KP).transpose(0, 2, 1)
+        return Wp.reshape(nb, kb, KP).transpose(0, 2, 1)
 
     @jax.jit
     def pack_census(lane, qual, min_qual):
         # one-hot(lane) gated by qual >= min_qual, built directly in the
-        # [nb, KP, KB] kernel layout (pure elementwise, no transpose)
-        nb = lane.shape[0] // KB
-        l3 = lane.reshape(nb, 1, KB).astype(jnp.int32)
+        # [nb, KP, kb] kernel layout (pure elementwise, no transpose)
+        nb = lane.shape[0] // kb
+        l3 = lane.reshape(nb, 1, kb).astype(jnp.int32)
         k = jax.lax.broadcasted_iota(jnp.int32, (1, KP, 1), 1)
-        gate = (qual.reshape(nb, 1, KB) >= min_qual)
+        gate = (qual.reshape(nb, 1, kb) >= min_qual)
         return ((l3 == k) & gate).astype(jnp.int8)
 
     return pack_w, pack_census
@@ -194,9 +194,10 @@ def _pad_rows(a: np.ndarray, n_pad: int, fill=0) -> np.ndarray:
     return out
 
 
-def _run(rp3, w3, lo, hi, wbeg, n_tiles, n_blk, interpret):
-    fn = _build(n_blk, n_tiles, interpret)
-    B_pad = n_blk * KB
+def _run(rp3, w3, lo, hi, wbeg, n_tiles, n_blk, interpret,
+         tile=TILE, kb=KB):
+    fn = _build(n_blk, n_tiles, interpret, tile, kb)
+    B_pad = n_blk * kb
     out = None
     cur = lo.copy()
     while True:
@@ -204,30 +205,31 @@ def _run(rp3, w3, lo, hi, wbeg, n_tiles, n_blk, interpret):
                np.array([wbeg], np.int32), rp3, w3)
         out = o if out is None else out + o
         # each pass covers [cur, min(hi, block_align(cur) + B_pad))
-        cur = np.minimum(np.maximum(cur, (cur // KB) * KB + B_pad), hi)
+        cur = np.minimum(np.maximum(cur, (cur // kb) * kb + B_pad), hi)
         if (cur >= hi).all():
             break
     return out
 
 
-def _shapes(refpos, lo, hi, B):
+def _shapes(refpos, lo, hi, B, kb=KB):
     lo = np.asarray(lo, np.int64)
     hi = np.asarray(hi, np.int64)
-    B_need = int((hi - (lo // KB) * KB).max(initial=1))
-    B_pad = KB
-    while B_pad < B_need and B_pad < max(B, KB):
+    B_need = int((hi - (lo // kb) * kb).max(initial=1))
+    B_pad = kb
+    while B_pad < B_need and B_pad < max(B, kb):
         B_pad <<= 1
     # extra B_pad tail so a slice starting at the last real block never
     # overruns the padded arrays
-    n_pad = -(-max(refpos.size, 1) // KB) * KB + B_pad
+    n_pad = -(-max(refpos.size, 1) // kb) * kb + B_pad
     return lo, hi, B_pad, n_pad
 
 
 def segment_matmul_pallas(refpos: np.ndarray, W: np.ndarray, lo, hi,
-                          wbeg: int, n_tiles: int, B: int):
+                          wbeg: int, n_tiles: int, B: int,
+                          tile: int = TILE, kb: int = KB):
     """Run the kernel.  refpos int[n] (any int dtype), W int8 [n, K<=32],
     lo/hi int32[n_tiles] item ranges, wbeg window start.  Returns f32
-    device array [n_tiles*TILE, K] whose values are exact integers.
+    device array [n_tiles*tile, K] whose values are exact integers.
     """
     import jax
 
@@ -235,32 +237,35 @@ def segment_matmul_pallas(refpos: np.ndarray, W: np.ndarray, lo, hi,
     if K > KP:
         raise ValueError(f"K={K} exceeds kernel width {KP}")
     interpret = jax.devices()[0].platform != "tpu"
-    lo, hi, B_pad, n_pad = _shapes(refpos, lo, hi, B)
+    lo, hi, B_pad, n_pad = _shapes(refpos, lo, hi, B, kb)
     rp = _pad_rows(refpos.astype(np.int32, copy=False), n_pad,
                    np.iinfo(np.int32).min)
-    rp3 = rp.reshape(-1, 1, KB)
-    pack_w, _ = _packer()
+    rp3 = rp.reshape(-1, 1, kb)
+    pack_w, _ = _packer(kb)
     w3 = pack_w(_pad_rows(np.ascontiguousarray(W, np.int8), n_pad))
-    out = _run(rp3, w3, lo, hi, wbeg, n_tiles, B_pad // KB, interpret)
+    out = _run(rp3, w3, lo, hi, wbeg, n_tiles, B_pad // kb, interpret,
+               tile, kb)
     return out[:, :K]
 
 
 def census_pallas(refpos: np.ndarray, lane: np.ndarray, qual: np.ndarray,
-                  min_qual: int, lo, hi, wbeg: int, n_tiles: int, B: int):
+                  min_qual: int, lo, hi, wbeg: int, n_tiles: int, B: int,
+                  tile: int = TILE, kb: int = KB):
     """Base x strand census: out[p, lane] counts with qual gating.  The
     one-hot weights are built on device from 1-byte lanes — minimal
     host->device transfer (5 bytes/base)."""
     import jax
 
     interpret = jax.devices()[0].platform != "tpu"
-    lo, hi, B_pad, n_pad = _shapes(refpos, lo, hi, B)
+    lo, hi, B_pad, n_pad = _shapes(refpos, lo, hi, B, kb)
     rp = _pad_rows(refpos.astype(np.int32, copy=False), n_pad,
                    np.iinfo(np.int32).min)
-    rp3 = rp.reshape(-1, 1, KB)
-    _, pack_census = _packer()
+    rp3 = rp.reshape(-1, 1, kb)
+    _, pack_census = _packer(kb)
     w3 = pack_census(_pad_rows(lane.astype(np.uint8, copy=False), n_pad),
                      _pad_rows(np.zeros(0, np.uint8) if qual is None
                                else qual.astype(np.uint8, copy=False),
                                n_pad),
                      np.uint8(min_qual))
-    return _run(rp3, w3, lo, hi, wbeg, n_tiles, B_pad // KB, interpret)
+    return _run(rp3, w3, lo, hi, wbeg, n_tiles, B_pad // kb, interpret,
+                tile, kb)
