@@ -106,24 +106,45 @@ class ReadBatch:
         return self.pos + spans
 
     # ------------------------------------------------------------ selection
-    def take(self, idx: np.ndarray) -> "ReadBatch":
-        """Gather a new batch of the given record indices (in given order)."""
+    ALL_RAGGED = ("qname", "cigar", "seq", "qual", "aux")
+
+    def take(self, idx: np.ndarray,
+             ragged: tuple = ALL_RAGGED) -> "ReadBatch":
+        """Gather a new batch of the given record indices (in given order).
+
+        ``ragged`` selects which ragged flats to materialize — offsets are
+        always correct (so ``l_qseq``/``n_cigar`` work), but unlisted
+        flats come back empty.  Gathering only what a kernel consumes
+        skips hundreds of MB of seq/qual copies on 30x batches.
+        """
         idx = np.asarray(idx, dtype=np.int64)
+        want = set(ragged)
         out = ReadBatch(n=int(idx.size))
         for f in ("tid", "pos", "mapq", "flag", "mtid", "mpos", "tlen"):
             setattr(out, f, getattr(self, f)[idx])
         for flat, off in (("qname", "qname_off"), ("cigar", "cigar_off"),
                           ("seq", "seq_off"), ("aux", "aux_off")):
-            src = getattr(self, flat)
             soff = getattr(self, off)
             lens = soff[idx + 1] - soff[idx]
             noff = np.zeros(idx.size + 1, np.int64)
             np.cumsum(lens, out=noff[1:])
-            gather = ragged_gather_indices(soff[idx], lens)
-            setattr(out, flat, src[gather])
             setattr(out, off, noff)
+            need_flat = flat in want
+            need_qual = flat == "seq" and "qual" in want
+            if not (need_flat or need_qual):
+                setattr(out, flat, np.empty(0, getattr(self, flat).dtype))
+                if flat == "seq":
+                    out.qual = np.empty(0, np.uint8)
+                continue
+            gather = ragged_gather_indices(soff[idx], lens)
+            src = getattr(self, flat)
+            setattr(out, flat,
+                    src[gather] if need_flat and src.size
+                    else np.empty(0, src.dtype))
             if flat == "seq":
-                out.qual = self.qual[gather]
+                out.qual = (self.qual[gather]
+                            if need_qual and self.qual.size
+                            else np.empty(0, np.uint8))
         return out
 
     @staticmethod

@@ -86,6 +86,64 @@ def scan_blocks(data: bytes) -> tuple[np.ndarray, np.ndarray]:
     return np.array(coffs, np.int64), np.array(bsizes, np.int64)
 
 
+def scan_blocks_partial(data: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """(coffsets, bsizes) of all COMPLETE blocks in `data`; a truncated
+    trailing block is ignored (streaming windows cut mid-block)."""
+    coffs = []
+    bsizes = []
+    off = 0
+    n = len(data)
+    while off + 18 <= n:
+        if data[off] != 0x1F or data[off + 1] != 0x8B:
+            raise BgzfError(f"bad gzip magic at offset {off}")
+        xlen = int.from_bytes(data[off + 10:off + 12], "little")
+        if off + 12 + xlen > n:
+            break
+        extra = data[off + 12:off + 12 + xlen]
+        bsize = None
+        i = 0
+        while i + 4 <= len(extra):
+            si1, si2 = extra[i], extra[i + 1]
+            slen = int.from_bytes(extra[i + 2:i + 4], "little")
+            if si1 == 66 and si2 == 67 and slen == 2:
+                bsize = int.from_bytes(extra[i + 4:i + 6], "little") + 1
+                break
+            i += 4 + slen
+        if bsize is None:
+            raise BgzfError(f"no BC subfield at offset {off}")
+        if off + bsize > n:
+            break
+        coffs.append(off)
+        bsizes.append(bsize)
+        off += bsize
+    return np.array(coffs, np.int64), np.array(bsizes, np.int64)
+
+
+def inflate_blocks(data: bytes, coffs: np.ndarray, bsizes: np.ndarray,
+                   threads: int = 0) -> tuple[np.ndarray, np.ndarray]:
+    """Inflate the given blocks; returns (uint8 array, uoffsets[nblk+1])."""
+    nat = _native()
+    if nat is not None and len(coffs):
+        arr = np.frombuffer(data, np.uint8) if not isinstance(
+            data, np.ndarray) else data
+        ends = (coffs + bsizes - 4).astype(np.int64)
+        isizes = (arr[ends[:, None] + np.arange(4)]
+                  .astype(np.uint32) * (1 << (8 * np.arange(4)))).sum(1)
+        uoffs = np.zeros(len(coffs) + 1, np.int64)
+        np.cumsum(isizes, out=uoffs[1:])
+        out = nat.bgzf_inflate(data, coffs, bsizes, int(uoffs[-1]),
+                               max(threads, 2))
+        return out, uoffs
+    if isinstance(data, np.ndarray):
+        data = data.tobytes()
+    parts = [_inflate_block(data, int(o), int(b))
+             for o, b in zip(coffs, bsizes)]
+    ulens = np.array([len(p) for p in parts], np.int64)
+    uoffs = np.zeros(len(parts) + 1, np.int64)
+    np.cumsum(ulens, out=uoffs[1:])
+    return np.frombuffer(b"".join(parts), np.uint8), uoffs
+
+
 def _inflate_block(data: bytes, off: int, bsize: int) -> bytes:
     xlen = int.from_bytes(data[off + 10:off + 12], "little")
     cdata_start = off + 12 + xlen

@@ -88,7 +88,13 @@ class BamIndex:
 
 
 def reg2bins(beg: int, end: int, min_shift: int = 14, depth: int = 5) -> np.ndarray:
-    """All bins overlapping [beg, end) (SAM spec §5.3)."""
+    """All bins overlapping [beg, end) (SAM spec §5.3).  Open-ended
+    regions clamp to the scheme's maximum span (htslib hts_bin_bot)."""
+    max_pos = 1 << (min_shift + 3 * depth)
+    end = min(end, max_pos)
+    beg = min(beg, max_pos - 1)
+    if end <= beg:
+        return np.zeros(1, np.uint32)
     end -= 1
     out = [0]
     t = 0

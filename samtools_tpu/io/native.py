@@ -87,6 +87,11 @@ def _load():
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_int64,
         ]
+        lib.samtpu_bam_scan_partial.restype = ctypes.c_int64
+        lib.samtpu_bam_scan_partial.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ]
         lib.samtpu_bgzf_scan.restype = ctypes.c_int64
         lib.samtpu_bgzf_scan.argtypes = [
             ctypes.c_void_p, ctypes.c_int64,
@@ -151,6 +156,23 @@ def bam_record_offsets(data: np.ndarray, start: int) -> np.ndarray:
     if got < 0:
         raise RuntimeError(f"native BAM scan failed (code {got})")
     return out[:got].copy()
+
+
+def bam_scan_partial(data: np.ndarray, start: int):
+    """(offsets, consumed): record offsets of every COMPLETE record at
+    data[start:]; a truncated tail record is left for the next chunk."""
+    lib = _load()
+    data = np.ascontiguousarray(data)
+    n = data.size
+    cap = max(16, (n - start) // 38 + 2)
+    out = np.empty(cap, np.int64)
+    consumed = ctypes.c_int64(start)
+    got = lib.samtpu_bam_scan_partial(data.ctypes.data, n, start,
+                                      out.ctypes.data, cap,
+                                      ctypes.byref(consumed))
+    if got < 0:
+        raise ValueError(f"corrupt BAM record (partial scan, code {got})")
+    return out[:got].copy(), int(consumed.value)
 
 
 def bgzf_scan(data) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

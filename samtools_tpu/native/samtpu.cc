@@ -46,6 +46,27 @@ int64_t samtpu_bam_scan_offsets(const uint8_t* data, int64_t n,
   return cnt;
 }
 
+// Partial scan for streaming: like samtpu_bam_scan_offsets but a trailing
+// incomplete record is not an error — *consumed reports the prefix length
+// covered by complete records.  Returns record count, -1 corrupt, -3 cap.
+int64_t samtpu_bam_scan_partial(const uint8_t* data, int64_t n, int64_t start,
+                                int64_t* out, int64_t cap,
+                                int64_t* consumed) {
+  int64_t off = start;
+  int64_t cnt = 0;
+  while (off + 4 <= n) {
+    uint32_t bs;
+    std::memcpy(&bs, data + off, 4);
+    if (bs == 0) return -1;
+    if (off + 4 + (int64_t)bs > n) break;  // incomplete tail record
+    if (cnt >= cap) return -3;
+    out[cnt++] = off;
+    off += 4 + (int64_t)bs;
+  }
+  *consumed = off;
+  return cnt;
+}
+
 // ---------------------------------------------------------------------------
 // BGZF block scan: find every block's (coffset, bsize, isize).
 // Returns the number of blocks, or -1 on malformed block.

@@ -261,7 +261,8 @@ _DEPTH_CS = None
 
 def depth_window_device(batch, sel: np.ndarray, wbeg: int, wend: int,
                         min_qual: int, count_del: bool,
-                        clips: np.ndarray | None = None) -> np.ndarray:
+                        clips: np.ndarray | None = None,
+                        segmm_fn=None) -> np.ndarray:
     """Device implementation of ops.depth.depth_window — same contract,
     same integers, computed on the TPU via the segment-matmul engine.
 
@@ -278,7 +279,9 @@ def depth_window_device(batch, sel: np.ndarray, wbeg: int, wend: int,
     L = wend - wbeg
     if sel.size == 0:
         return np.zeros(L, np.int32)
-    sub = batch.take(sel)
+    # gather only the columns this kernel reads (cigar; qual when gated)
+    ragged = ("cigar", "qual") if min_qual else ("cigar",)
+    sub = batch.take(sel, ragged=ragged)
     t = expand_ops(sub)
     clip = (clips[sel] if clips is not None else np.zeros(sel.size, np.int64))
 
@@ -349,6 +352,8 @@ def depth_window_device(batch, sel: np.ndarray, wbeg: int, wend: int,
 
     tile = pick_tile(L)
 
+    contract = segmm_fn or segment_matmul
+
     def run(pos, w, rid):
         order = np.argsort(rid, kind="stable")
         pos, w, rid = pos[order], w[order], rid[order]
@@ -356,7 +361,7 @@ def depth_window_device(batch, sel: np.ndarray, wbeg: int, wend: int,
         off = np.zeros(sub.n + 1, np.int64)
         np.cumsum(cnt, out=off[1:])
         plan = tile_plan(rpos_b, rend_b, off, wbeg, L, tile=tile)
-        return segment_matmul(pos, w, plan)
+        return contract(pos, w, plan)
 
     import jax.numpy as jnp
     n_tiles_pad_len = padded_tiles(max(1, (L + tile - 1) // tile)) * tile

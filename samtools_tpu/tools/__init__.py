@@ -49,6 +49,8 @@ COMMANDS = {
     "tview": ("samtools_tpu.tools.tview_cmd", "main_tview"),
     "reference": ("samtools_tpu.tools.reference_cmd", "main_reference"),
     "cram-size": ("samtools_tpu.tools.cram_size_cmd", "main_cram_size"),
+    # ancillary (reference misc/ binaries, not bamtk subcommands)
+    "wgsim": ("samtools_tpu.tools.wgsim_cmd", "main_wgsim"),
 }
 
 

@@ -1,9 +1,11 @@
 """samtools cat — concatenate alignment files.
 
-Reference analog: /root/reference/bam_cat.c (BGZF stream splice without
-decode).  This implementation decodes and re-encodes the record stream —
-semantically identical output (same records, same order); the zero-copy
-block splice is a later optimization.
+Reference analog: /root/reference/bam_cat.c.  BGZF BAM inputs take the
+zero-decode splice path (bam_cat.c:700): each input's compressed blocks
+are copied verbatim — only the header blocks and trailing EOF markers
+are dropped, and a record-sharing-the-header-block tail is recompressed
+once.  Runs at I/O speed, no record decode.  Mixed/SAM inputs fall back
+to decode + re-encode (same records, same order).
 """
 
 from __future__ import annotations
@@ -73,6 +75,10 @@ def main_cat(argv: list[str]) -> int:
         usage(sys.stderr)
         return 1
 
+    rc = _try_splice(paths, header_file, fn_out, ga, no_pg, fast, argv)
+    if rc is not None:
+        return rc
+
     header = None
     batches = []
     for path in paths:
@@ -108,3 +114,89 @@ def main_cat(argv: list[str]) -> int:
     write_alignments(fn_out, header, out, fmt=fmt, threads=ga.nthreads,
                      level=level, include_header=True)
     return 0
+
+
+def _try_splice(paths, header_file, fn_out, ga, no_pg, fast, argv):
+    """Zero-decode BGZF block splice (bam_cat.c:700).  Returns an exit
+    code when handled, or None to fall back to decode+re-encode (non-BAM
+    inputs, or explicit non-BAM output format)."""
+    from ..io import bgzf
+    from ..io.bam import encode_header
+    from ..io.stream import BamStream
+
+    fmt = infer_output_format(fn_out, ga.out_fmt, "bam")
+    if fmt != "bam":
+        return None
+    streams = []
+    try:
+        header = None
+        for path in paths:
+            try:
+                st = BamStream(path, threads=ga.nthreads)
+            except OSError as e:
+                print_error_errno("cat", 'fail to open file "%s"', path,
+                                  exc=e)
+                return 1
+            except Exception:
+                for s, _ in streams:
+                    s.close()
+                return None  # not a BGZF BAM — fall back
+            streams.append((st, path))
+            if header is None:
+                header = st.header
+            elif st.header.ref_names != header.ref_names:
+                print_error("cat",
+                            "different sequence dictionaries in \"%s\"",
+                            path)
+                return 1
+        if header_file:
+            try:
+                hf = read_alignments(header_file)
+                header = hf.header
+            except OSError as e:
+                print_error_errno("cat", 'fail to open file "%s"',
+                                  header_file, exc=e)
+                return 1
+        if not no_pg:
+            cl = "samtools cat " + " ".join(argv)
+            header = header.add_pg_line("samtools", "samtools", cl,
+                                        SAMTOOLS_PARITY_VERSION)
+        level = 1 if fast else 6
+        out = (open(fn_out, "wb") if fn_out else sys.stdout.buffer)
+        try:
+            out.write(bgzf.compress(encode_header(header), level=level,
+                                    threads=ga.nthreads, append_eof=False))
+            for st, path in streams:
+                raw = open(path, "rb").read()
+                coffs, bsizes = bgzf.scan_blocks(raw)
+                isizes = np.array(
+                    [int.from_bytes(raw[int(o + b - 4):int(o + b)],
+                                    "little")
+                     for o, b in zip(coffs, bsizes)], np.int64)
+                # drop trailing empty (EOF-marker) blocks
+                last = len(coffs)
+                while last > 0 and isizes[last - 1] == 0:
+                    last -= 1
+                cpos = st._hdr_voffset >> 16
+                upos = st._hdr_voffset & 0xFFFF
+                blk = int(np.searchsorted(coffs, cpos))
+                if upos:
+                    # records share the header's last block: recompress
+                    # the tail of that block, then raw-copy the rest
+                    data = bgzf._inflate_block(raw, int(coffs[blk]),
+                                               int(bsizes[blk]))
+                    if len(data) > upos:
+                        out.write(bgzf.compress(data[upos:], level=level,
+                                                append_eof=False))
+                    blk += 1
+                if blk < last:
+                    out.write(raw[int(coffs[blk]):
+                                  int(coffs[last - 1] + bsizes[last - 1])])
+            out.write(bgzf.BGZF_EOF)
+        finally:
+            if fn_out:
+                out.close()
+        return 0
+    finally:
+        for st, _ in streams:
+            st.close()

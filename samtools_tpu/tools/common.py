@@ -118,3 +118,31 @@ def out_level(ga: GlobalArgs) -> int:
         return int(ga.out_opts.get("level", 6))
     except ValueError:
         return 6
+
+
+def try_region_read(path: str, threads: int, reg: str):
+    """Index-driven region load: (AlignmentFile, Region) reading only the
+    BAI/CSI chunks overlapping ``reg`` (the sam_itr_querys path of
+    /root/reference/bam_plcmd.c:541-550), or None when the file is not an
+    indexed BAM (caller falls back to the whole-file read).  Raises
+    RegionError for an unparsable region, like the full-read path."""
+    from ..core.regions import parse_region
+    from ..io.files import AlignmentFile
+    if path == "-":
+        return None
+    try:
+        from ..io.stream import BamStream
+        st = BamStream(path, threads=threads)
+    except Exception:
+        return None
+    with st:
+        if st.index() is None:
+            return None
+        region = parse_region(reg, st.header.tid)
+        if region.tid < 0:
+            return None  # "." / "*" pseudo-regions need the full file
+        batch = st.query(region.tid, region.beg, region.end)
+        if batch is None:
+            return None
+        return (AlignmentFile(header=st.header, batch=batch, format="bam"),
+                region)

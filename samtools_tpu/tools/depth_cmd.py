@@ -20,7 +20,7 @@ from ..io import bed as bedmod
 from ..io.files import read_alignments
 from ..ops import depth as dops
 from .common import (GlobalArgs, UsageError, gnu_getopt, handle_global_opt,
-                     print_error, print_error_errno)
+                     print_error, print_error_errno, try_region_read)
 from .flags_cmd import str2flag
 
 DEFAULT_EXCL = F.FUNMAP | F.FSECONDARY | F.FQCFAIL | F.FDUP
@@ -188,16 +188,27 @@ def main_depth(argv: list[str]) -> int:
 
     out = open(out_file, "w") if out_file else sys.stdout
     files = []
+    region = None
     for path in args:
         try:
-            files.append(read_alignments(path, threads=ga.nthreads))
+            loaded = None
+            if reg:
+                # index-driven region read: O(region) bytes off disk
+                got = try_region_read(path, ga.nthreads, reg)
+                if got is not None:
+                    loaded, region = got
+            if loaded is None:
+                loaded = read_alignments(path, threads=ga.nthreads)
+            files.append(loaded)
+        except RegionError:
+            print_error("depth", 'could not parse region "%s"', reg)
+            return 1
         except OSError as e:
             print_error_errno("depth", 'Could not open "%s"', path, exc=e)
             return 1
     header = files[0].header
 
-    region = None
-    if reg:
+    if reg and region is None:
         try:
             region = parse_region(reg, header.tid)
         except RegionError:

@@ -162,8 +162,33 @@ def main_flagstat(argv: list[str], device: bool = True) -> int:
     if len(args) != 1:
         usage(sys.stdout if not args else sys.stderr)
         return 0 if not args else 1
+    s = None
     try:
-        f = read_alignments(args[0], threads=ga.nthreads)
+        # streaming path for BGZF BAMs (bounded memory, any file size);
+        # flagstat needs only fixed-width columns — fields=0 skips every
+        # ragged copy (the CRAM required-fields speedup, bam_stat.c:315)
+        if args[0] != "-":
+            try:
+                from ..io.stream import BamStream
+                st = BamStream(args[0], threads=ga.nthreads)
+            except OSError:
+                raise
+            except Exception:
+                st = None
+            if st is not None:
+                with st:
+                    for part in st.batches(fields=0):
+                        p = (fsops.flagstat_counts(part) if device
+                             else fsops.flagstat_numpy(part))
+                        s = p if s is None else {
+                            k: (s[k][0] + p[k][0], s[k][1] + p[k][1])
+                            for k in s}
+        if s is None:
+            f = read_alignments(args[0], threads=ga.nthreads)
+            if device:
+                s = fsops.flagstat_counts(f.batch)
+            else:
+                s = fsops.flagstat_numpy(f.batch)
     except OSError as e:
         print_error_errno("flagstat",
                           'Cannot open input file "%s"', args[0], exc=e)
@@ -171,10 +196,6 @@ def main_flagstat(argv: list[str], device: bool = True) -> int:
     except Exception as e:
         print_error("flagstat", 'error reading from "%s": %s', args[0], e)
         return 1
-    if device:
-        s = fsops.flagstat_counts(f.batch)
-    else:
-        s = fsops.flagstat_numpy(f.batch)
     if out_fmt.lower() == "json":
         out_json(s)
     elif out_fmt.lower() == "tsv":

@@ -20,7 +20,7 @@ from ..io.files import read_alignments
 from ..ops import basemods
 from ..ops import pileup as plops
 from .common import (GlobalArgs, UsageError, gnu_getopt, handle_global_opt,
-                     print_error, print_error_errno)
+                     print_error, print_error_errno, try_region_read)
 from .flags_cmd import str2flag
 
 DEFAULT_FF = F.FUNMAP | F.FSECONDARY | F.FQCFAIL | F.FDUP
@@ -418,9 +418,22 @@ def main_mpileup(argv: list[str]) -> int:
         return 1
 
     files = []
+    region = None
     for path in args:
         try:
-            files.append(read_alignments(path, threads=ga.nthreads))
+            loaded = None
+            if reg:
+                # sam_itr_querys analog (bam_plcmd.c:541-550): read only
+                # the indexed byte ranges overlapping the region
+                got = try_region_read(path, ga.nthreads, reg)
+                if got is not None:
+                    loaded, region = got
+            if loaded is None:
+                loaded = read_alignments(path, threads=ga.nthreads)
+            files.append(loaded)
+        except RegionError:
+            sys.stderr.write(f"[E::mpileup] fail to parse region '{reg}'\n")
+            return 1
         except OSError as e:
             sys.stderr.write(f"[mpileup] failed to open {path}: "
                              f"{e.strerror}\n")
@@ -430,8 +443,7 @@ def main_mpileup(argv: list[str]) -> int:
     sys.stderr.write(f"[mpileup] {n_samples} samples in {len(files)} "
                      "input files\n")
 
-    region = None
-    if reg:
+    if reg and region is None:
         try:
             region = parse_region(reg, header.tid)
         except RegionError:

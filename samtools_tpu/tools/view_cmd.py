@@ -21,7 +21,7 @@ from ..io.files import (infer_output_format, read_alignments,
                         write_alignments)
 from ..ops import filters as fops
 from .common import (GlobalArgs, UsageError, gnu_getopt, handle_global_opt,
-                     print_error, print_error_errno)
+                     print_error, print_error_errno, try_region_read)
 from .flags_cmd import str2flag
 
 
@@ -392,7 +392,20 @@ def main_view(argv: list[str]) -> int:
         region_args = region_args[1:]  # skip the explicit index argument
 
     try:
-        f = read_alignments(fn_in, threads=ga.nthreads)
+        f = None
+        # single-region + no unselected-output: index-driven byte-range
+        # read (multi_region_view path, sam_view.c:791); everything
+        # downstream re-applies the region mask so output is unchanged
+        if (len(region_args) == 1 and not fn_un_out and not fetch_pairs
+                and not unmap):
+            got = try_region_read(fn_in, ga.nthreads, region_args[0])
+            if got is not None:
+                f, _ = got
+        if f is None:
+            f = read_alignments(fn_in, threads=ga.nthreads)
+    except RegionError as e:
+        print_error("view", "%s", e)
+        return 1
     except OSError as e:
         print_error_errno("view", 'failed to open "%s" for reading', fn_in,
                           exc=e)
