@@ -57,20 +57,27 @@ class AlignmentFile:
     format: str = "sam"
 
 
-def read_alignments(path: str, threads: int = 0) -> AlignmentFile:
-    """Read a whole SAM/BAM file into a columnar batch."""
+def read_alignments(path: str, threads: int = 0,
+                    reference: str | None = None) -> AlignmentFile:
+    """Read a whole SAM/BAM file into a columnar batch.  ``reference``
+    names a FASTA used for CRAM decode (-T/--reference)."""
     if path == "-":
         data = sys.stdin.buffer.read()
-        return _read_from_bytes(data, threads)
+        return _read_from_bytes(data, threads, reference)
     with open(path, "rb") as f:
         data = f.read()
-    return _read_from_bytes(data, threads)
+    return _read_from_bytes(data, threads, reference)
 
 
-def _read_from_bytes(data: bytes, threads: int = 0) -> AlignmentFile:
+def _read_from_bytes(data: bytes, threads: int = 0,
+                     reference: str | None = None) -> AlignmentFile:
     if data[:4] == b"CRAM":
         from .cram_decode import read_cram
-        header, batch = read_cram(data)
+        fai = None
+        if reference:
+            from . import fasta as fastamod
+            fai = fastamod.load_fasta(reference)
+        header, batch = read_cram(data, fai=fai)
         return AlignmentFile(header=header, batch=batch, format="cram")
     fmt = "sam"
     if data[:2] == b"\x1f\x8b":
@@ -111,13 +118,55 @@ def infer_output_format(path: str | None, explicit: str | None = None,
     return default
 
 
+def cram_ref_lookup(header: SamHeader, reference: str | None):
+    """tid -> uppercase reference bytes, via an explicit FASTA (-T) or
+    the REF_PATH/REF_CACHE M5 store (htslib cram_ref semantics)."""
+    fai = None
+    if reference:
+        from . import fasta as fastamod
+        fai = fastamod.load_fasta(reference)
+    cache: dict[int, bytes | None] = {}
+
+    def lookup(tid: int):
+        if tid in cache:
+            return cache[tid]
+        seq = None
+        if fai is not None:
+            try:
+                seq = fai.fetch(header.ref_names[tid])
+            except Exception:
+                seq = None
+        if seq is None:
+            from .cram_decode import _ref_path_lookup
+            seq = _ref_path_lookup(header, tid)
+        if seq is not None:
+            seq = bytes(seq).upper()
+        cache[tid] = seq
+        return seq
+
+    return lookup
+
+
 def write_alignments(path: str | None, header: SamHeader, batch: ReadBatch,
                      fmt: str = "sam", threads: int = 0, level: int = 6,
                      include_header: bool = True,
-                     header_only: bool = False) -> bytes | None:
+                     header_only: bool = False,
+                     reference: str | None = None,
+                     write_index: bool = False) -> bytes | None:
     """Write records; path None/'-' writes to stdout."""
     if fmt == "cram":
-        raise FormatError("CRAM output is not supported yet")
+        from .cram_encode import encode_cram, write_crai
+        payload, crai = encode_cram(header, batch,
+                                    cram_ref_lookup(header, reference))
+        if path and path != "-" and write_index:
+            write_crai(path + ".crai", crai)
+        if path is None or path == "-":
+            sys.stdout.buffer.write(payload)
+            sys.stdout.buffer.flush()
+            return None
+        with open(path, "wb") as f:
+            f.write(payload)
+        return None
     if fmt == "bam":
         raw = bamio.encode_header(header)
         if not header_only:

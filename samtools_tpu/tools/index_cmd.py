@@ -36,6 +36,8 @@ def usage(fp):
 def build_index_for(path: str, out_path: str | None, csi: bool,
                     min_shift: int, threads: int) -> int:
     fmt = detect_format(path)
+    if fmt == "cram":
+        return _build_crai(path, out_path)
     if fmt not in ("bam",):
         print_error("index",
                     '"%s" is in a format that cannot be usefully indexed',
@@ -132,4 +134,32 @@ def main_index(argv: list[str]) -> int:
             return 1
         if r:
             return 1
+    return 0
+
+
+def _build_crai(path: str, out_path: str | None) -> int:
+    """CRAI from CRAM container/slice headers (htslib cram_index_build):
+    one line per slice: seq_id, start, span, container offset, slice
+    header offset within the container, slice byte size."""
+    from ..io.cram import CramReader, parse_block, parse_slice_header
+    from ..io.cram_encode import write_crai
+    data = open(path, "rb").read()
+    rd = CramReader(data)
+    lines = []
+    for cont, i in rd.containers():
+        cstart = rd.pos  # container header offset (pos advances on resume)
+        if rd.is_eof_container(cont):
+            break
+        if cont.n_records == 0 and cont.n_bases == 0:
+            continue
+        body_start = i
+        for lm in cont.landmarks:
+            sl_start = body_start + lm
+            blk, j = parse_block(data, sl_start, rd.major)
+            sh = parse_slice_header(blk.data(), rd.major)
+            for _ in range(sh.n_blocks):
+                _b, j = parse_block(data, j, rd.major)
+            lines.append((sh.ref_seq_id, sh.ref_start, sh.ref_span,
+                          cstart, lm, j - sl_start))
+    write_crai(out_path or (path + ".crai"), lines)
     return 0

@@ -402,7 +402,8 @@ def main_view(argv: list[str]) -> int:
             if got is not None:
                 f, _ = got
         if f is None:
-            f = read_alignments(fn_in, threads=ga.nthreads)
+            f = read_alignments(fn_in, threads=ga.nthreads,
+                                reference=ga.reference)
     except RegionError as e:
         print_error("view", "%s", e)
         return 1
@@ -505,7 +506,9 @@ def main_view(argv: list[str]) -> int:
     include_header = is_header if out_fmt in ("sam", "sam.gz") else True
     write_alignments(fn_out, header, out_batch, fmt=out_fmt,
                      threads=ga.nthreads, level=level,
-                     include_header=include_header)
+                     include_header=include_header,
+                     reference=ga.reference,
+                     write_index=ga.write_index)
     if ga.write_index and fn_out and out_fmt == "bam":
         from .index_cmd import build_index_for
         build_index_for(fn_out, None, False, 14, ga.nthreads)
@@ -519,7 +522,8 @@ def main_view(argv: list[str]) -> int:
         write_alignments(fn_un_out, header, un_batch, fmt=un_fmt,
                          threads=ga.nthreads, level=level,
                          include_header=(is_header if un_fmt in
-                                         ("sam", "sam.gz") else True))
+                                         ("sam", "sam.gz") else True),
+                         reference=ga.reference)
     if fn_counts:
         with open(fn_counts, "wt") as fh:
             fh.write(str(out_batch.n) + "\n")

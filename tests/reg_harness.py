@@ -71,6 +71,11 @@ def run_reg(reg_path: str, workdir: str, formats=("sam", "bam"),
 
     res = RegResult()
     env = _env(env_extra)
+    # CRAM reference resolution via the suite's truncated-MD5 store
+    # (regression.sh:33-34 exports REF_PATH=$pwd/md5)
+    md5dir = os.path.join(workdir, "md5")
+    if os.path.isdir(md5dir):
+        env["REF_PATH"] = md5dir
     with open(reg_path) as f:
         lines = [l.rstrip("\n") for l in f]
     for line in lines:

@@ -110,3 +110,49 @@ def test_mpileup_cram_equals_sam():
 def test_quickcheck_cram(fn, want):
     rc, _ = run_cli(["quickcheck", f"{R}/quickcheck/{fn}"])
     assert rc == want
+
+
+def test_cram_write_roundtrip(tmp_path):
+    """BAM -> our CRAM 3.0 writer -> our reader == original records
+    (unmapped CIGARs stripped as htslib does; RG moves to aux end)."""
+    import numpy as np
+    import samtools_tpu.core.flags as F
+    from samtools_tpu.io.files import read_alignments, write_alignments
+    from samtools_tpu.io.cram_encode import _tag_list
+    src = "/root/reference/test/mpileup/mpileup.1.bam"
+    ref = "/root/reference/test/mpileup/mpileup.ref.fa"
+    af = read_alignments(src)
+    out = str(tmp_path / "rt.cram")
+    write_alignments(out, af.header, af.batch, fmt="cram", reference=ref,
+                     write_index=True)
+    assert (tmp_path / "rt.cram.crai").exists()
+    back = read_alignments(out, reference=ref)
+    a, b = back.batch, af.batch
+    assert a.n == b.n
+    for f in ("tid", "pos", "mapq", "flag", "mtid", "mpos", "tlen",
+              "qname", "seq", "qual"):
+        assert np.array_equal(getattr(a, f), getattr(b, f)), f
+    for i in range(a.n):
+        ca = a.cigar[a.cigar_off[i]:a.cigar_off[i + 1]]
+        cb = b.cigar[b.cigar_off[i]:b.cigar_off[i + 1]]
+        if not np.array_equal(ca, cb):
+            assert (b.flag[i] & F.FUNMAP) and ca.size == 0, i
+    for i in range(a.n):
+        ta = sorted(_tag_list(bytes(a.aux[a.aux_off[i]:a.aux_off[i + 1]])))
+        tb = sorted(_tag_list(bytes(b.aux[b.aux_off[i]:b.aux_off[i + 1]])))
+        assert ta == tb, i
+
+
+def test_cram_write_unmapped_and_multi_ref(tmp_path):
+    """Multi-contig + unmapped tail batch round-trips through CRAM."""
+    import numpy as np
+    from samtools_tpu.io.files import read_alignments, write_alignments
+    src = "/root/reference/test/dat/test_input_1_a.bam"
+    af = read_alignments(src)
+    out = str(tmp_path / "m.cram")
+    write_alignments(out, af.header, af.batch, fmt="cram")
+    back = read_alignments(out)
+    a, b = back.batch, af.batch
+    assert a.n == b.n
+    for f in ("tid", "pos", "flag", "qname", "seq"):
+        assert np.array_equal(getattr(a, f), getattr(b, f)), f
