@@ -122,7 +122,10 @@ def main(argv: list[str] | None = None) -> int:
         sys.stderr.write(f"[main] unrecognized command '{cmd}'\n")
         return 1
     try:
-        return run_command(cmd, argv[1:])
+        rc = run_command(cmd, argv[1:])
+        from .core import metrics
+        metrics.report(cmd)
+        return rc
     except BrokenPipeError:
         # downstream closed the pipe (e.g. `... | head`): exit quietly
         try:

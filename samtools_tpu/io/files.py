@@ -61,12 +61,16 @@ def read_alignments(path: str, threads: int = 0,
                     reference: str | None = None) -> AlignmentFile:
     """Read a whole SAM/BAM file into a columnar batch.  ``reference``
     names a FASTA used for CRAM decode (-T/--reference)."""
+    from ..core import metrics
     if path == "-":
         data = sys.stdin.buffer.read()
-        return _read_from_bytes(data, threads, reference)
-    with open(path, "rb") as f:
-        data = f.read()
-    return _read_from_bytes(data, threads, reference)
+    else:
+        with open(path, "rb") as f:
+            data = f.read()
+    with metrics.stage("read+decode", len(data), "bytes"):
+        af = _read_from_bytes(data, threads, reference)
+    metrics.add("decode.records", 0.0, af.batch.n, "reads")
+    return af
 
 
 def _read_from_bytes(data: bytes, threads: int = 0,
@@ -154,6 +158,16 @@ def write_alignments(path: str | None, header: SamHeader, batch: ReadBatch,
                      reference: str | None = None,
                      write_index: bool = False) -> bytes | None:
     """Write records; path None/'-' writes to stdout."""
+    from ..core import metrics
+    with metrics.stage("encode+write", batch.n, "reads"):
+        return _write_alignments(path, header, batch, fmt, threads, level,
+                                 include_header, header_only, reference,
+                                 write_index)
+
+
+def _write_alignments(path, header, batch, fmt, threads, level,
+                      include_header, header_only, reference,
+                      write_index) -> bytes | None:
     if fmt == "cram":
         from .cram_encode import encode_cram, write_crai
         payload, crai = encode_cram(header, batch,

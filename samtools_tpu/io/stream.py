@@ -213,6 +213,13 @@ class BamStream:
 
 def _decode(data: np.ndarray, offs: np.ndarray, threads: int,
             fields: int) -> ReadBatch:
+    from ..core import metrics
+    with metrics.stage("stream.decode", offs.size, "reads"):
+        return _decode_inner(data, offs, threads, fields)
+
+
+def _decode_inner(data: np.ndarray, offs: np.ndarray, threads: int,
+                  fields: int) -> ReadBatch:
     try:
         from . import native
         if native.available():

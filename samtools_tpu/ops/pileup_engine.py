@@ -204,6 +204,13 @@ def segment_matmul(refpos: np.ndarray, W: np.ndarray, plan: TilePlan,
     All shapes (item count, tile count, B) are bucketed to powers of two
     so repeated tool invocations reuse the jit cache.
     """
+    from ..core import metrics
+    with metrics.stage("device.segment_matmul", refpos.size, "events"):
+        return _segment_matmul(refpos, W, plan, chunk)
+
+
+def _segment_matmul(refpos: np.ndarray, W: np.ndarray, plan: TilePlan,
+                    chunk: int = 16):
     import jax.numpy as jnp
 
     segmm = _get_segmm()

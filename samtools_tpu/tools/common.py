@@ -94,6 +94,8 @@ def handle_global_opt(ga: GlobalArgs, opt: str, val: str,
         ga.write_index = True
     elif opt == "--verbosity":
         ga.verbosity = int(val)
+        from ..core import metrics
+        metrics.set_verbosity(ga.verbosity)
     else:
         return False
     return True

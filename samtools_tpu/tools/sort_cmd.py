@@ -104,8 +104,13 @@ def main_sort(argv: list[str]) -> int:
     level = 6
     no_pg = False
     o_seen = False
+    minimiser_kmer = 20
+    minimiser_ref = None
+    minimiser_window = 100
+    try_rev = True
+    no_squash = True
     try:
-        opts, args = gnu_getopt(argv, "l:m:no:O:T:@:t:MNK:I:R:w:Hu",
+        opts, args = gnu_getopt(argv, "l:m:no:O:T:@:t:MNK:I:Rw:Hu",
                                 ["no-PG", "template-coordinate"])
     except UsageError:
         usage(sys.stderr)
@@ -134,8 +139,17 @@ def main_sort(argv: list[str]) -> int:
             level = 0
         elif o == "-M":
             order = "minhash"
-        elif o in ("-K", "-I", "-R", "-w", "-H"):
-            pass  # minimiser tuning (minhash order not yet implemented)
+        elif o == "-K":
+            minimiser_kmer = int(v)
+        elif o == "-I":
+            order = "minhash"  # implicit option (bam_sort.c:3813)
+            minimiser_ref = v
+        elif o == "-R":
+            try_rev = False
+        elif o == "-w":
+            minimiser_window = int(v)
+        elif o == "-H":
+            no_squash = False
         elif o == "--template-coordinate":
             order = "template-coordinate"
         elif o == "--no-PG":
@@ -176,8 +190,16 @@ def main_sort(argv: list[str]) -> int:
             sys.stderr.write(f"[bam_sort] error: {e}\n")
             return 1
     elif order == "minhash":
-        print_error("sort", "minimiser sort is not implemented yet")
-        return 1
+        from ..ops.minhash import minhash_order
+        idx = minhash_order(b, kmer=minimiser_kmer, try_rev=try_rev,
+                            no_squash=no_squash, ref_fa=minimiser_ref,
+                            ref_window=minimiser_window)
+        # final_out reset (bam_sort.c:1959): unmapped records' cached
+        # key fields are cleared on output
+        unm = b.tid < 0
+        b.pos[unm] = -1
+        b.mpos[unm] = -1
+        b.tlen[unm] = 0
     else:
         idx = np.arange(b.n)
 

@@ -84,3 +84,34 @@ def test_fixmate_rejects_coord_sorted():
     rc, _ = run_cli(["fixmate", "-O", "sam",
                      f"{R}/fixmate/1_coord_sort.sam", "-"])
     assert rc != 0
+
+
+MINHASH_CASES = [
+    ("minimiser-basic", ["-M", "-K10"]),
+    ("minimiser-indexed", ["-M", "-K10", "-I", f"{R}/dat/mpileup.ref.fa"]),
+    ("minimiser-indexed-poly",
+     ["-M", "-H", "-K10", "-I", f"{R}/dat/mpileup.ref.fa"]),
+]
+
+
+@pytest.fixture(scope="module")
+def minhash_input(tmp_path_factory):
+    """test.pl:3552 pipeline: mpileup.1.sam -> bam -> reset --dupflag."""
+    d = tmp_path_factory.mktemp("minhash")
+    bam = str(d / "auto_indexed.bam")
+    rst = str(d / "reset.bam")
+    rc, _ = run_cli(["view", "-b", "-o", bam, f"{R}/dat/mpileup.1.sam"])
+    assert rc == 0
+    rc, _ = run_cli(["reset", "--dupflag", "-O", "bam", "-o", rst, bam])
+    assert rc == 0
+    return rst
+
+
+@pytest.mark.parametrize("name,extra", MINHASH_CASES,
+                         ids=[c[0] for c in MINHASH_CASES])
+def test_sort_minhash_golden(name, extra, minhash_input):
+    rc, out = run_cli(["sort", "-m", "10M"] + extra
+                      + ["-O", "SAM", "-o", "-", minhash_input])
+    want = open(f"{R}/sort/{name}.sam").read()
+    assert rc == 0
+    assert _no_pg(out) == _no_pg(want)
