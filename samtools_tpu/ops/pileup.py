@@ -150,10 +150,51 @@ def build_pileup(sub) -> Pileup:
                           is_head, is_tail, indel, ins))
 
 
+_DEV_SORT = None
+
+
+def _device_stable_order(pos: np.ndarray) -> np.ndarray:
+    """Stable order-by-position on the accelerator: ``lax.sort`` with the
+    entry index as a carried operand (is_stable=True preserves read
+    arrival order within a column, the bam_plp iteration contract).
+    Padded to power-of-two buckets so repeated windows share the compiled
+    kernel."""
+    global _DEV_SORT
+    from .. import device as _device  # noqa: F401  platform selection
+    import jax
+    import jax.numpy as jnp
+    if _DEV_SORT is None:
+        @jax.jit
+        def f(keys):
+            idx = jnp.arange(keys.size, dtype=jnp.int32)
+            _, order = jax.lax.sort((keys, idx), num_keys=1,
+                                    is_stable=True)
+            return order
+        _DEV_SORT = f
+    n = pos.size
+    b = 1 << int(np.ceil(np.log2(max(n, 1024))))
+    # int32 device keys (x64 is off); shift to a window-relative base.
+    # Positions are window-local by construction; guard anyway.
+    base = int(pos.min()) if n else 0
+    span = int(pos.max()) - base if n else 0
+    if span >= np.iinfo(np.int32).max - 1 or n >= (1 << 31):
+        return np.lexsort((np.arange(n), pos))
+    keys = np.full(b, np.iinfo(np.int32).max, np.int32)
+    keys[:n] = (pos - base).astype(np.int32)
+    order = np.asarray(_DEV_SORT(keys))[:n]
+    return order.astype(np.int64)
+
+
 def _finish(p: Pileup) -> Pileup:
     if p.n_entries == 0:
         return p
-    order = np.lexsort((np.arange(p.n_entries), p.pos))
+    from ..engine import use_device
+    from ..core import metrics
+    if use_device(p.n_entries):
+        with metrics.stage("device.pileup_sort", p.n_entries, "entries"):
+            order = _device_stable_order(p.pos)
+    else:
+        order = np.lexsort((np.arange(p.n_entries), p.pos))
     for f in ("pos", "rid", "qpos", "is_del", "is_refskip", "is_head",
               "is_tail", "indel"):
         setattr(p, f, getattr(p, f)[order])

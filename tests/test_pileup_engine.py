@@ -132,3 +132,26 @@ def test_pallas_kernel_multipass(monkeypatch):
     hi = np.array([n], np.int32)
     out = np.asarray(pp.segment_matmul_pallas(pos, W, lo, hi, 0, 1, pp.KB))
     assert int(out[0, 0]) == int(W.sum())
+
+
+MPILEUP_DEVICE_FIXTURES = ["ce#5b.bam", "c1#clip.bam", "c1#pad1.bam",
+                           "mpileup.1.bam"]
+
+
+@pytest.mark.parametrize("fixture", MPILEUP_DEVICE_FIXTURES)
+def test_mpileup_device_pileup_sort_parity(fixture):
+    """mpileup -B with the device pileup sort forced on == host path
+    (the pileup table construction is the shared device hook for
+    mpileup/consensus/bedcov/coverage)."""
+    import os
+    import subprocess
+    path = f"{MPILEUP_DIR}/{fixture}"
+    outs = {}
+    for dev in ("1", "0"):
+        env = dict(os.environ, SAMTPU_PLATFORM="cpu", SAMTPU_DEVICE=dev)
+        p = subprocess.run([sys.executable, "-m", "samtools_tpu",
+                            "mpileup", "-B", path],
+                           capture_output=True, env=env)
+        assert p.returncode == 0, p.stderr.decode()[-2000:]
+        outs[dev] = p.stdout
+    assert outs["1"] == outs["0"]
