@@ -1,0 +1,181 @@
+"""External merge sort: bounded-memory arena -> sorted temp-BAM runs ->
+streaming batched k-way merge.
+
+Reference: bam_sort.c:3385-3702 (read into a max_mem arena, spill sorted
+numbered temp BAMs on overflow) and :1849 bam_merge_simple (k-way heap
+over temp files, ties broken by file index then record index).
+
+TPU-native design: no per-record heap.  The merge operates on columnar
+batches — each round tops up one decoded batch per run, orders the
+pooled rows with one stable lexsort over (order keys, run id, within-run
+sequence), and emits the prefix that no still-on-disk row can precede:
+every run is sorted, so its last pooled row is a lower bound for
+everything it still holds.  Run ids ascend in input order, which makes
+the lexsort tie-break exactly the reference's (file index, record index)
+stability rule, so external output is byte-identical to the in-memory
+sort.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ..core.batch import ReadBatch
+from .bam import write_bam
+from .stream import BamStream
+
+
+def batch_nbytes(b: ReadBatch) -> int:
+    """Approximate decoded arena footprint of a batch."""
+    total = 0
+    for name in ("tid", "pos", "mapq", "flag", "mtid", "mpos", "tlen",
+                 "qname", "qname_off", "cigar", "cigar_off", "seq",
+                 "seq_off", "qual", "aux", "aux_off"):
+        arr = getattr(b, name)
+        total += arr.nbytes
+    return total
+
+
+def order_batch(batch: ReadBatch, key_fn, kind: str,
+                sid=None, seq=None) -> np.ndarray:
+    """Stable permutation under the order keys (+ optional run-stability
+    columns for the merge pool)."""
+    if kind == "lex":
+        keys = key_fn(batch)
+        if sid is not None:
+            keys = (seq, sid) + keys
+        return np.lexsort(keys)
+    keys = key_fn(batch)
+    if sid is not None:
+        idx = sorted(range(batch.n),
+                     key=lambda i: (keys[i], sid[i], seq[i]))
+    else:
+        idx = sorted(range(batch.n), key=lambda i: keys[i])
+    return (np.array(idx, np.int64) if idx else np.empty(0, np.int64))
+
+
+class SpillSorter:
+    """Accumulate batches under a memory budget; spill sorted runs."""
+
+    def __init__(self, header, key_fn, kind: str, mem_bytes: int,
+                 tmpprefix: str, threads: int = 0):
+        self.header = header
+        self.key_fn = key_fn
+        self.kind = kind
+        self.mem_bytes = max(mem_bytes, 1 << 16)
+        self.tmpprefix = tmpprefix
+        self.threads = threads
+        self.spills: list[str] = []
+        self._acc: list[ReadBatch] = []
+        self._acc_bytes = 0
+
+    def add(self, batch: ReadBatch) -> None:
+        if batch.n == 0:
+            return
+        nbytes = batch_nbytes(batch)
+        if nbytes > self.mem_bytes and batch.n > 1:
+            # one decoded window larger than the arena: slice it into
+            # budget-sized row ranges (the reference reads record by
+            # record, so its arena granularity is one record)
+            parts = max(2, int(np.ceil(nbytes / self.mem_bytes)))
+            rows = max(1, batch.n // parts)
+            for s in range(0, batch.n, rows):
+                self.add(batch.take(np.arange(
+                    s, min(s + rows, batch.n), dtype=np.int64)))
+            return
+        self._acc.append(batch)
+        self._acc_bytes += nbytes
+        if self._acc_bytes >= self.mem_bytes:
+            self._flush()
+
+    def _take_acc(self) -> ReadBatch | None:
+        if not self._acc:
+            return None
+        chunk = (ReadBatch.concat(self._acc) if len(self._acc) > 1
+                 else self._acc[0])
+        self._acc = []
+        self._acc_bytes = 0
+        return chunk
+
+    def _flush(self) -> None:
+        chunk = self._take_acc()
+        if chunk is None:
+            return
+        run = chunk.take(order_batch(chunk, self.key_fn, self.kind))
+        fn = f"{self.tmpprefix}.{len(self.spills):04d}.bam"
+        # temp runs: fast compression, original header (tids unchanged)
+        write_bam(fn, self.header, run, level=1, threads=self.threads)
+        self.spills.append(fn)
+
+    def finish(self):
+        """Returns either ("mem", sorted_batch) when everything fit, or
+        ("spill", iterator_of_ordered_batches)."""
+        if not self.spills:
+            chunk = self._take_acc()
+            if chunk is None:
+                chunk = ReadBatch()
+            return "mem", chunk.take(
+                order_batch(chunk, self.key_fn, self.kind))
+        self._flush()
+        return "spill", self._merge()
+
+    def _merge(self):
+        from ..core import metrics
+        spills = self.spills
+        k = len(spills)
+        metrics.log(4, "sort", "merging from %d files...", k)
+        streams = [BamStream(fn, self.threads).batches() for fn in spills]
+        live = [True] * k
+        seq_next = [0] * k
+        pool = None
+        pool_sid = pool_seq = None
+        try:
+            while True:
+                parts, sids, seqs = [], [], []
+                if pool is not None and pool.n:
+                    parts.append(pool)
+                    sids.append(pool_sid)
+                    seqs.append(pool_seq)
+                for s in range(k):
+                    if not live[s]:
+                        continue
+                    nb = next(streams[s], None)
+                    if nb is None:
+                        live[s] = False
+                        continue
+                    parts.append(nb)
+                    sids.append(np.full(nb.n, s, np.int64))
+                    seqs.append(np.arange(seq_next[s], seq_next[s] + nb.n,
+                                          dtype=np.int64))
+                    seq_next[s] += nb.n
+                if not parts:
+                    break
+                big = (ReadBatch.concat(parts) if len(parts) > 1
+                       else parts[0])
+                sid = np.concatenate(sids)
+                seq = np.concatenate(seqs)
+                order = order_batch(big, self.key_fn, self.kind, sid, seq)
+                inv = np.empty(big.n, np.int64)
+                inv[order] = np.arange(big.n)
+                cut = big.n
+                for s in range(k):
+                    if not live[s]:
+                        continue
+                    rows = np.nonzero(sid == s)[0]
+                    # a live stream always contributed this round
+                    last = rows[np.argmax(seq[rows])]
+                    cut = min(cut, int(inv[last]))
+                if cut > 0:
+                    yield big.take(order[:cut])
+                keep = order[cut:]
+                pool = big.take(keep)
+                pool_sid = sid[keep]
+                pool_seq = seq[keep]
+        finally:
+            for fn in spills:
+                try:
+                    os.remove(fn)
+                except OSError:
+                    pass

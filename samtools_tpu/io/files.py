@@ -151,6 +151,52 @@ def cram_ref_lookup(header: SamHeader, reference: str | None):
     return lookup
 
 
+class StreamingWriter:
+    """Incremental alignment writer (bam / sam / sam.gz): header once,
+    then record batches appended as they arrive — the external sort's
+    output path (the reference writes merged records one by one at
+    bam_sort.c:1956; here a batch at a time)."""
+
+    def __init__(self, path: str | None, header: SamHeader, fmt: str,
+                 threads: int = 0, level: int = 6,
+                 include_header: bool = True):
+        if fmt not in ("bam", "sam", "sam.gz"):
+            raise FormatError(f"streaming output not supported for {fmt}")
+        self.fmt = fmt
+        self.header = header
+        self._own = path is not None and path != "-"
+        self._f = open(path, "wb") if self._own else sys.stdout.buffer
+        if fmt in ("bam", "sam.gz"):
+            self._w = bgzf.BgzfWriter(self._f, level=level, threads=threads)
+        else:
+            self._w = None
+        head = (bamio.encode_header(header) if fmt == "bam"
+                else header.text.encode("latin-1") if include_header
+                else b"")
+        if self._w is not None:
+            self._w.write(head)
+        else:
+            self._f.write(head)
+
+    def write_batch(self, batch: ReadBatch) -> None:
+        if batch.n == 0:
+            return
+        payload = (bamio.encode_records(batch) if self.fmt == "bam"
+                   else format_records(self.header, batch).encode("latin-1"))
+        if self._w is not None:
+            self._w.write(payload)
+        else:
+            self._f.write(payload)
+
+    def close(self) -> None:
+        if self._w is not None:
+            self._w.close(write_eof=True)
+        if self._own:
+            self._f.close()
+        else:
+            self._f.flush()
+
+
 def write_alignments(path: str | None, header: SamHeader, batch: ReadBatch,
                      fmt: str = "sam", threads: int = 0, level: int = 6,
                      include_header: bool = True,

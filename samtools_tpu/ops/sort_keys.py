@@ -83,17 +83,26 @@ def qname_flag_key(batch) -> np.ndarray:
     return ((f & 0xC0) << 8) | ((f & 0x100) << 3) | ((f & 0x800) >> 3)
 
 
-def coordinate_order(batch) -> np.ndarray:
-    """Stable order for SO:coordinate: (tid with -1 last, pos, rev)."""
+def coordinate_keys(batch) -> tuple:
+    """Lexsort key columns (least->most significant) for SO:coordinate:
+    (rev, pos, tid with -1 last)."""
     tid = batch.tid.astype(np.int64)
     tid = np.where(tid < 0, np.iinfo(np.int64).max, tid)
     rev = (batch.flag.astype(np.int64) & F.FREVERSE) != 0
-    return np.lexsort((rev, batch.pos, tid))
+    return (rev, batch.pos, tid)
+
+
+def coordinate_order(batch) -> np.ndarray:
+    """Stable order for SO:coordinate: (tid with -1 last, pos, rev)."""
+    return np.lexsort(coordinate_keys(batch))
+
+
+def queryname_keys(batch, natural: bool = True) -> tuple:
+    return (qname_flag_key(batch), name_ranks(batch, natural))
 
 
 def queryname_order(batch, natural: bool = True) -> np.ndarray:
-    return np.lexsort((qname_flag_key(batch),
-                       name_ranks(batch, natural)))
+    return np.lexsort(queryname_keys(batch, natural))
 
 
 def _core_key(batch, queryname: bool, natural: bool):
@@ -108,9 +117,13 @@ def _core_key(batch, queryname: bool, natural: bool):
 
 
 def tag_order(batch, tag: str, queryname: bool, natural: bool = True) -> np.ndarray:
-    """Order by aux tag value (bam1_cmp_by_tag): records without the tag
-    first, then grouped by normalized type, then value, falling back to
-    cmp_core."""
+    return np.lexsort(tag_keys(batch, tag, queryname, natural))
+
+
+def tag_keys(batch, tag: str, queryname: bool, natural: bool = True) -> tuple:
+    """Key columns for ordering by aux tag value (bam1_cmp_by_tag):
+    records without the tag first, then grouped by normalized type, then
+    value, falling back to cmp_core."""
     vals = [auxmod.get_value(batch.aux_of(i), tag) for i in range(batch.n)]
     has = np.array([v is not None for v in vals])
 
@@ -145,7 +158,7 @@ def tag_order(batch, tag: str, queryname: bool, natural: bool = True) -> np.ndar
     str_key = np.array([str_rank_map[s] for s in str_vals], np.int64)
     core = _core_key(batch, queryname, natural)
     # primary: records without the tag first (bam1_cmp_by_tag NULL rule)
-    return np.lexsort(core + (str_key, num_key, type_key, has))
+    return core + (str_key, num_key, type_key, has)
 
 
 # ------------------------------------------------------- unclipped coords
@@ -219,8 +232,15 @@ def unclipped_other_end(op_pos: int, cigar: str, hard: bool = False) -> int:
 
 
 def template_coordinate_order(batch, header) -> np.ndarray:
-    """TemplateCoordinate order (bam_sort.c:2193 template_coordinate_key +
-    :2285 comparator)."""
+    keys = template_coordinate_keys(batch, header)
+    order = sorted(range(batch.n), key=lambda i: keys[i])
+    return np.array(order, np.int64) if order else np.empty(0, np.int64)
+
+
+def template_coordinate_keys(batch, header) -> list:
+    """TemplateCoordinate python-tuple keys (bam_sort.c:2193
+    template_coordinate_key + :2285 comparator); ties resolved by the
+    caller's stable sort."""
     lib_map = {}
     for line in header.lines():
         if line.startswith("@RG"):
@@ -275,6 +295,5 @@ def template_coordinate_order(batch, header) -> np.ndarray:
             neg1, neg2 = neg2, neg1
         keys.append((tid1, tid2, pos1, pos2,
                      0 if neg1 else 1, 0 if neg2 else 1,
-                     lib, cid, mid, name, 1 if upper else 0, i))
-    keys.sort()
-    return np.array([k[-1] for k in keys], np.int64)
+                     lib, cid, mid, name, 1 if upper else 0))
+    return keys

@@ -7,6 +7,7 @@ reference's tie-break by input record index is exactly lexsort stability.
 
 from __future__ import annotations
 
+import os
 import sys
 
 import numpy as np
@@ -94,6 +95,84 @@ def _set_go(header, go: str):
     return header.with_text("\n".join(lines))
 
 
+def _order_key_fn(order, natural, by_tag, name_seen):
+    """(header -> batch -> key columns, kind) for spill-mergeable orders;
+    (None, None) for orders that mutate records (minhash)."""
+    if order == "coordinate":
+        return (lambda hdr: sk.coordinate_keys), "lex"
+    if order == "queryname":
+        return (lambda hdr: (lambda b: sk.queryname_keys(b, natural))), \
+            "lex"
+    if order == "tag":
+        return (lambda hdr: (lambda b: sk.tag_keys(b, by_tag, name_seen,
+                                                   natural))), "lex"
+    if order == "template-coordinate":
+        return (lambda hdr: (
+            lambda b: sk.template_coordinate_keys(b, hdr))), "py"
+    return None, None
+
+
+def _try_external_sort(fn_in, fn_out, order, natural, by_tag, key_fn_maker,
+                       key_kind, max_mem, tmpprefix, level, no_pg, argv,
+                       ga) -> int | None:
+    """Stream fn_in through the bounded-memory spill sorter.  Returns an
+    exit code, or None to fall back to the in-memory path (non-BAM
+    input, CRAM output, or stream errors before any output)."""
+    from ..io.extsort import SpillSorter
+    from ..io.files import StreamingWriter
+    from ..io.stream import BamStream
+
+    fmt = infer_output_format(fn_out, ga.out_fmt, "bam")
+    if fmt not in ("bam", "sam", "sam.gz"):
+        return None
+    try:
+        stream = BamStream(fn_in, threads=ga.nthreads)
+    except Exception:
+        return None
+
+    mem = max_mem * max(1, ga.nthreads)
+    prefix = tmpprefix or ((fn_out or "samtools") + f".tmp.{os.getpid()}")
+    key_fn = key_fn_maker(stream.header)
+    sorter = SpillSorter(stream.header, key_fn, key_kind, mem, prefix,
+                         threads=ga.nthreads)
+    try:
+        mapped = False
+        for b in stream.batches():
+            mapped = mapped or bool((b.tid >= 0).any())
+            sorter.add(b)
+        mode, result = sorter.finish()
+    except Exception as e:
+        print_error("sort", "error while sorting: %s", e)
+        return 1
+    finally:
+        stream.close()
+
+    header = sort_header(stream.header, order, natural, by_tag, mapped)
+    if not no_pg:
+        cl = "samtools sort " + " ".join(argv) if argv else "samtools sort"
+        header = header.add_pg_line("samtools", "samtools", cl,
+                                    SAMTOOLS_PARITY_VERSION)
+    try:
+        if mode == "mem":
+            write_alignments(fn_out, header, result, fmt=fmt,
+                             threads=ga.nthreads, level=level,
+                             include_header=True)
+        else:
+            w = StreamingWriter(fn_out, header, fmt,
+                                threads=ga.nthreads, level=level)
+            for chunk in result:
+                w.write_batch(chunk)
+            w.close()
+    except OSError as e:
+        print_error_errno("sort", 'failed writing to "%s"',
+                          fn_out or "-", exc=e)
+        return 1
+    if ga.write_index and fn_out and fmt == "bam":
+        from .index_cmd import build_index_for
+        build_index_for(fn_out, None, False, 14, ga.nthreads)
+    return 0
+
+
 def main_sort(argv: list[str]) -> int:
     global order_tag_secondary
     ga = GlobalArgs()
@@ -104,6 +183,8 @@ def main_sort(argv: list[str]) -> int:
     level = 6
     no_pg = False
     o_seen = False
+    max_mem = 768 << 20  # bam_sort.c SORT_DEFAULT_MEGS_PER_THREAD
+    tmpprefix = None
     minimiser_kmer = 20
     minimiser_ref = None
     minimiser_window = 100
@@ -130,9 +211,16 @@ def main_sort(argv: list[str]) -> int:
         elif o == "-t":
             by_tag = v
         elif o == "-m":
-            pass  # memory cap: whole batch is in memory here
+            mult = {"K": 1 << 10, "M": 1 << 20, "G": 1 << 30}.get(
+                v[-1:].upper())
+            try:
+                max_mem = (int(float(v[:-1]) * mult) if mult
+                           else int(float(v)))
+            except ValueError:
+                print_error("sort", "invalid memory limit \"%s\"", v)
+                return 1
         elif o == "-T":
-            pass
+            tmpprefix = v
         elif o == "-l":
             level = int(v)
         elif o == "-u":
@@ -169,6 +257,16 @@ def main_sort(argv: list[str]) -> int:
         return 1
     del o_seen
     fn_in = args[0] if args else "-"
+
+    # external path: stream a regular BAM through the spill sorter when
+    # the decoded arena would exceed the -m budget (bam_sort.c:3490)
+    key_fn, key_kind = _order_key_fn(order, natural, by_tag, name_seen)
+    if key_fn is not None and fn_in != "-":
+        rc = _try_external_sort(fn_in, fn_out, order, natural, by_tag,
+                                key_fn, key_kind, max_mem, tmpprefix,
+                                level, no_pg, argv, ga)
+        if rc is not None:
+            return rc
 
     try:
         f = read_alignments(fn_in, threads=ga.nthreads)

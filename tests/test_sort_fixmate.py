@@ -115,3 +115,20 @@ def test_sort_minhash_golden(name, extra, minhash_input):
     want = open(f"{R}/sort/{name}.sam").read()
     assert rc == 0
     assert _no_pg(out) == _no_pg(want)
+
+
+@pytest.mark.parametrize("extra", [[], ["-n"], ["-N"], ["-t", "RG"]],
+                         ids=["coord", "name-nat", "name-lex", "tag-rg"])
+def test_sort_external_spill_matches_in_memory(extra, tmp_path):
+    """bam_sort.c:3490 arena/spill/k-way-merge analog: a tiny -m budget
+    forces multiple spill runs; the batched merge must reproduce the
+    in-memory sort byte-for-byte (stability = file idx, record idx)."""
+    src = f"{R}/mpileup/mpileup.1.bam"
+    rc, mem = run_cli(["sort"] + extra + ["-O", "SAM", "-o", "-", src])
+    assert rc == 0
+    rc, ext = run_cli(["sort"] + extra
+                      + ["-m", "60K", "-T", str(tmp_path / "sp"),
+                         "-O", "SAM", "-o", "-", src])
+    assert rc == 0
+    assert _no_pg(ext) == _no_pg(mem)
+    assert not list(tmp_path.iterdir())  # spill runs cleaned up
