@@ -34,6 +34,8 @@ UNDERLINE_FLAG = 10
 
 _NT16_STR = F.SEQ_NT16_STR
 _NT16_TABLE = {c: i for i, c in enumerate(_NT16_STR)}
+# nt16 -> small int (htslib seq_nt16_int: A,C,G,T -> 0..3, else 4)
+_NT16_INT = {1: 0, 2: 1, 4: 2, 8: 3}
 _CALL_CHARS = ",ACMGRSVTWYHKDBN"
 
 
@@ -218,9 +220,19 @@ def draw(tv: dict, screen: Screen) -> None:
                             and not (flag & F.FPROPER_PAIR)) \
                             or (flag & F.FSECONDARY):
                         attr |= underline()
-                    x = int(sub.mapq[rid]) // 10 + 1
-                    if x > 4:
-                        x = 4
+                    # color modes (bam_tview.c:282-296): mapq default
+                    color_for = tv.get("color_for", "mapq")
+                    if color_for == "baseq":
+                        q = (int(sub.qual[sub.seq_off[rid] + qpos])
+                             if qpos < l_qseq and sub.qual.size else 0)
+                        x = min(q // 10 + 1, 4)
+                    elif color_for == "nucl":
+                        code = (int(sub.seq[sub.seq_off[rid] + qpos])
+                                if qpos < l_qseq else 0)
+                        x = _NT16_INT.get(code, 4) + 5 if qpos < l_qseq \
+                            else 4
+                    else:  # mapq
+                        x = min(int(sub.mapq[rid]) // 10 + 1, 4)
                     attr |= colorpair(x)
                     screen.attr = attr
                     screen.addch(row, ccol,
@@ -318,6 +330,213 @@ def emit_html(screen: Screen, out, title: str) -> None:
     out.write("</pre></div></body></html>")
 
 
+_HELP_LINES = [
+    "        -=-    Help    -=- ",
+    "",
+    "?          This window",
+    "Arrows     Small scroll movement",
+    "h,j,k,l    Small scroll movement",
+    "H,J,K,L    Large scroll movement",
+    "ctrl-H     Scroll 1k left",
+    "ctrl-L     Scroll 1k right",
+    "space      Scroll one screen",
+    "backspace  Scroll back one screen",
+    "g          Go to specific location",
+    "m          Color for mapping qual",
+    "n          Color for nucleotide",
+    "b          Color for base quality",
+    ".          Toggle on/off dot view",
+    "i          Toggle on/off ins",
+    "v          Inverse video",
+    "q          Exit",
+    "",
+    "Underline:      Secondary or orphan",
+    "Blue:    0-9    Green: 10-19",
+    "Yellow: 20-29   White: >=30",
+]
+
+
+def curses_loop(tv, header, fai) -> int:
+    """Interactive curses display (bam_tview_curses.c:374 loop).  The
+    Screen grid drawn by ``draw`` is blitted each keystroke; pair/attr
+    bits map 1:1 onto curses color pairs."""
+    import curses
+
+    def fetch_ref(tid, left, width):
+        if fai is None:
+            return None
+        try:
+            return fai.fetch(header.ref_name(tid), left, left + width)
+        except Exception:
+            return None
+
+    def init_colors(scr, inverse):
+        if not curses.has_colors():
+            return
+        curses.start_color()
+        curses.use_default_colors()
+        C = curses
+        if inverse:
+            pairs = [(C.COLOR_WHITE, C.COLOR_BLUE),
+                     (C.COLOR_BLACK, C.COLOR_GREEN),
+                     (C.COLOR_BLACK, C.COLOR_YELLOW),
+                     (C.COLOR_BLACK, C.COLOR_WHITE),
+                     (C.COLOR_BLACK, C.COLOR_GREEN),
+                     (C.COLOR_BLACK, C.COLOR_CYAN),
+                     (C.COLOR_WHITE, C.COLOR_MAGENTA),
+                     (C.COLOR_WHITE, C.COLOR_RED),
+                     (C.COLOR_WHITE, C.COLOR_BLUE)]
+        else:
+            pairs = [(C.COLOR_BLUE, -1), (C.COLOR_GREEN, -1),
+                     (C.COLOR_YELLOW, -1), (C.COLOR_WHITE, -1),
+                     (C.COLOR_GREEN, -1), (C.COLOR_CYAN, -1),
+                     (C.COLOR_MAGENTA, -1), (C.COLOR_RED, -1),
+                     (C.COLOR_BLUE, -1)]
+        for i, (fg, bg) in enumerate(pairs, start=1):
+            try:
+                curses.init_pair(i, fg, bg)
+            except curses.error:
+                pass
+
+    def run(scr):
+        curses.curs_set(0)
+        inverse = False
+        init_colors(scr, inverse)
+        row_shift = 0
+        tid = tv["tid"]
+        pos = tv["left_pos"]
+
+        def redraw():
+            mrow, mcol = scr.getmaxyx()
+            tv["mcol"] = mcol
+            tv["mrow"] = mrow
+            tv["tid"] = tid
+            tv["left_pos"] = pos
+            tv["ref"] = fetch_ref(tid, pos, mcol)
+            screen = Screen(mcol)
+            draw(tv, screen)
+            scr.erase()
+            nrows = len(screen.rows)
+            out_y = 0
+            for y in range(nrows):
+                if y > TV_MIN_ALNROW:
+                    if y - (TV_MIN_ALNROW + 1) < row_shift:
+                        continue
+                if out_y >= mrow:
+                    break
+                for x, (ch, attr) in enumerate(screen.rows[y]):
+                    if x >= mcol - 1:
+                        break
+                    cattr = 0
+                    for pair in range(1, 10):
+                        if attr & colorpair(pair):
+                            cattr |= curses.color_pair(pair)
+                            break
+                    if attr & underline():
+                        cattr |= curses.A_UNDERLINE
+                    try:
+                        scr.addch(out_y, x, ch, cattr)
+                    except curses.error:
+                        pass
+                out_y += 1
+            scr.refresh()
+
+        def win_help():
+            mrow, mcol = scr.getmaxyx()
+            h = min(len(_HELP_LINES) + 2, mrow)
+            w = min(40, mcol)
+            win = curses.newwin(h, w, 2, max(0, (mcol - w) // 2))
+            win.border()
+            for r, line in enumerate(_HELP_LINES[:h - 2], start=1):
+                try:
+                    win.addstr(r, 2, line[:w - 3])
+                except curses.error:
+                    pass
+            win.refresh()
+            win.getch()
+
+        def win_goto():
+            nonlocal tid, pos
+            mcol = scr.getmaxyx()[1]
+            w = min(40, mcol)
+            win = curses.newwin(3, w, 2, max(0, (mcol - w) // 2))
+            win.border()
+            win.addstr(1, 2, "Goto: ")
+            curses.echo()
+            curses.curs_set(1)
+            try:
+                s = win.getstr(1, 8, w - 10).decode("latin-1").strip()
+            except Exception:
+                s = ""
+            curses.noecho()
+            curses.curs_set(0)
+            if s:
+                try:
+                    region = parse_region(s, header.tid)
+                    if region.tid >= 0:
+                        tid = region.tid
+                        pos = region.beg
+                except RegionError:
+                    pass
+
+        redraw()
+        while True:
+            c = scr.getch()
+            if c in (ord("q"), 27):
+                break
+            elif c == ord("?"):
+                win_help()
+            elif c in (ord("g"), ord("/")):
+                win_goto()
+            elif c == ord("m"):
+                tv["color_for"] = "mapq"
+            elif c == ord("b"):
+                tv["color_for"] = "baseq"
+            elif c == ord("n"):
+                tv["color_for"] = "nucl"
+            elif c == ord("v"):
+                inverse = not inverse
+                init_colors(scr, inverse)
+            elif c in (curses.KEY_LEFT, ord("h")):
+                pos -= 1
+            elif c in (curses.KEY_RIGHT, ord("l")):
+                pos += 1
+            elif c in (curses.KEY_SLEFT, ord("H")):
+                pos -= 20
+            elif c in (curses.KEY_SRIGHT, ord("L")):
+                pos += 20
+            elif c == ord("."):
+                tv["is_dot"] = not tv["is_dot"]
+            elif c == ord("i"):
+                tv["ins"] = not tv["ins"]
+            elif c == 0x08:       # ctrl-H
+                pos -= 1000
+            elif c == 0x0C:       # ctrl-L
+                pos += 1000
+            elif c == ord(" "):
+                pos += scr.getmaxyx()[1]
+            elif c in (curses.KEY_UP, ord("j")):
+                row_shift -= 1
+            elif c == ord("J"):
+                row_shift -= 20
+            elif c in (curses.KEY_DOWN, ord("k")):
+                row_shift += 1
+            elif c == ord("K"):
+                row_shift += 20
+            elif c in (curses.KEY_BACKSPACE, 0x7F):
+                pos -= scr.getmaxyx()[1]
+            elif c == curses.KEY_RESIZE:
+                pass
+            else:
+                continue
+            pos = max(pos, 0)
+            row_shift = max(row_shift, 0)
+            redraw()
+        return 0
+
+    return curses.wrapper(run)
+
+
 def usage(fp):
     fp.write("Usage: samtools tview [options] <aln.bam> [ref.fasta]\n"
              "Options:\n"
@@ -371,9 +590,9 @@ def main_tview(argv: list[str]) -> int:
     else:
         ref_fa = args[1] if len(args) > 1 else ga.reference
 
-    if view_mode == "C" and sys.stdout.isatty():
+    if view_mode == "C" and not sys.stdout.isatty():
         print_error("tview",
-                    "interactive curses display is not supported;"
+                    "curses display requires a terminal;"
                     " use -d T or -d H")
         return 1
 
@@ -464,6 +683,14 @@ def main_tview(argv: list[str]) -> int:
         "ins": show_inserts,
         "is_dot": 1,
     }
+    if view_mode == "C":
+        try:
+            return curses_loop(tv, header, fai)
+        except ImportError:
+            print_error("tview", "python curses is unavailable;"
+                        " use -d T or -d H")
+            return 1
+
     screen = Screen(mcol)
     draw(tv, screen)
 

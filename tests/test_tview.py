@@ -60,3 +60,48 @@ def test_tview_width_option():
     assert rc == 0
     for line in out.decode().splitlines():
         assert len(line) == 40
+
+
+def test_tview_curses_interactive():
+    """Drive the curses backend (bam_tview_curses.c analog) in a pty:
+    draw at a region, open help, goto another region, quit."""
+    import pty
+    import select
+    import time
+
+    pid, fd = pty.fork()
+    if pid == 0:
+        os.environ["TERM"] = "xterm"
+        os.environ["SAMTPU_PLATFORM"] = "cpu"
+        os.execvp(sys.executable, [
+            sys.executable, "-m", "samtools_tpu", "tview", "-d", "C",
+            "-p", "17:100", f"{R}/mpileup/mpileup.1.bam",
+            f"{R}/mpileup/mpileup.ref.fa"])
+    out = b""
+
+    def drain(t):
+        nonlocal out
+        end = time.time() + t
+        while time.time() < end:
+            r, _, _ = select.select([fd], [], [], 0.2)
+            if r:
+                try:
+                    d = os.read(fd, 65536)
+                except OSError:
+                    return
+                if not d:
+                    return
+                out += d
+
+    drain(10)
+    for k in [b"l", b"?", b" ", b"g", b"17:300\r"]:
+        os.write(fd, k)
+        drain(0.5)
+    os.write(fd, b"q")
+    drain(2)
+    _, status = os.waitpid(pid, 0)
+    text = out.decode("latin-1", "replace")
+    assert "-=-    Help    -=-" in text
+    assert "Goto:" in text
+    assert "301" in text          # ruler after goto 17:300
+    assert os.waitstatus_to_exitcode(status) == 0
