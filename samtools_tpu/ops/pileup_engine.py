@@ -257,10 +257,33 @@ def _depth_cumsum_jit():
 
     @jax.jit
     def f(diff_col, direct_col):
-        return (jnp.cumsum(diff_col[:, 0]) + direct_col[:, 0]).astype(
+        d = (jnp.cumsum(diff_col[:, 0]) + direct_col[:, 0]).astype(
             jnp.int32)
+        return d, d.max()
 
     return f
+
+
+_NARROW = {}
+
+
+def _fetch_narrow(depth, mx: int, L: int) -> np.ndarray:
+    """Device->host transfer with the narrowest lossless dtype — the
+    host link (PCIe, or ~20 MB/s on the tunnelled dev box) is the depth
+    path's bottleneck, and 30x depth columns fit in uint8/int16."""
+    import jax
+    import jax.numpy as jnp
+    if mx < 256:
+        dt = jnp.uint8
+    elif mx < (1 << 15):
+        dt = jnp.int16
+    else:
+        return np.asarray(depth[:L])
+    fn = _NARROW.get(dt)
+    if fn is None:
+        fn = _NARROW[dt] = jax.jit(
+            lambda x, d=dt: x.astype(d))
+    return np.asarray(fn(depth)[:L]).astype(np.int32)
 
 
 _DEPTH_CS = None
@@ -309,10 +332,22 @@ def depth_window_device(batch, sel: np.ndarray, wbeg: int, wend: int,
             # its read's [pos, end] span, the invariant tile_plan needs
             nz = s < e
             s, e, rm = s[nz], e[nz], t.rid[m][nz]
-            ev_pos_parts += [s, e]
-            ev_w_parts += [np.ones(s.size, np.int8),
-                           -np.ones(e.size, np.int8)]
-            ev_rid_parts += [rm, rm]
+            # interleave (+start, -end) per op: rid stays nondecreasing
+            # (op order == read order), so the per-read grouping below
+            # needs no sort at all on this path
+            k = s.size
+            ev_pos = np.empty(2 * k, s.dtype)
+            ev_pos[0::2] = s
+            ev_pos[1::2] = e
+            ev_w = np.empty(2 * k, np.int8)
+            ev_w[0::2] = 1
+            ev_w[1::2] = -1
+            ev_rid = np.empty(2 * k, rm.dtype)
+            ev_rid[0::2] = rm
+            ev_rid[1::2] = rm
+            ev_pos_parts.append(ev_pos)
+            ev_w_parts.append(ev_w)
+            ev_rid_parts.append(ev_rid)
     else:
         if m.any():
             lens = t.oplen[m]
@@ -362,8 +397,11 @@ def depth_window_device(batch, sel: np.ndarray, wbeg: int, wend: int,
     contract = segmm_fn or segment_matmul
 
     def run(pos, w, rid):
-        order = np.argsort(rid, kind="stable")
-        pos, w, rid = pos[order], w[order], rid[order]
+        # group events per read; skip the sort when rid is already
+        # nondecreasing (true for the interleaved diff events)
+        if rid.size and (np.diff(rid) < 0).any():
+            order = np.argsort(rid, kind="stable")
+            pos, w, rid = pos[order], w[order], rid[order]
         cnt = np.bincount(rid, minlength=sub.n)
         off = np.zeros(sub.n + 1, np.int64)
         np.cumsum(cnt, out=off[1:])
@@ -394,8 +432,8 @@ def depth_window_device(batch, sel: np.ndarray, wbeg: int, wend: int,
     if direct_col.shape[0] < h:
         direct_col = jnp.pad(direct_col,
                              ((0, h - direct_col.shape[0]), (0, 0)))
-    depth = _DEPTH_CS(diff_col, direct_col)
-    return np.asarray(depth[:L])
+    depth, dmax = _DEPTH_CS(diff_col, direct_col)
+    return _fetch_narrow(depth, int(dmax), L)
 
 
 # -------------------------------------------------------- base-lane census

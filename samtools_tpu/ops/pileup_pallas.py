@@ -189,8 +189,9 @@ def _packer(kb=KB):
 
 
 def _pad_rows(a: np.ndarray, n_pad: int, fill=0) -> np.ndarray:
-    out = np.full((n_pad,) + a.shape[1:], fill, a.dtype)
+    out = np.empty((n_pad,) + a.shape[1:], a.dtype)
     out[:a.shape[0]] = a
+    out[a.shape[0]:] = fill  # only the tail needs the fill value
     return out
 
 
