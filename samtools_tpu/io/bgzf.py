@@ -120,8 +120,10 @@ def scan_blocks_partial(data: bytes) -> tuple[np.ndarray, np.ndarray]:
 
 
 def inflate_blocks(data: bytes, coffs: np.ndarray, bsizes: np.ndarray,
-                   threads: int = 0) -> tuple[np.ndarray, np.ndarray]:
-    """Inflate the given blocks; returns (uint8 array, uoffsets[nblk+1])."""
+                   threads: int = 0, out: np.ndarray | None = None
+                   ) -> tuple[np.ndarray, np.ndarray]:
+    """Inflate the given blocks; returns (uint8 array, uoffsets[nblk+1]).
+    ``out``: optional reusable buffer (see native.bgzf_inflate)."""
     nat = _native()
     if nat is not None and len(coffs):
         arr = np.frombuffer(data, np.uint8) if not isinstance(
@@ -132,7 +134,7 @@ def inflate_blocks(data: bytes, coffs: np.ndarray, bsizes: np.ndarray,
         uoffs = np.zeros(len(coffs) + 1, np.int64)
         np.cumsum(isizes, out=uoffs[1:])
         out = nat.bgzf_inflate(data, coffs, bsizes, int(uoffs[-1]),
-                               max(threads, 2))
+                               max(threads, 2), out=out)
         return out, uoffs
     if isinstance(data, np.ndarray):
         data = data.tobytes()

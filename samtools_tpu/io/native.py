@@ -129,6 +129,19 @@ def _load():
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
             ctypes.c_int,
         ]
+        lib.samtpu_baq_batch.restype = ctypes.c_int64
+        lib.samtpu_baq_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+        ]
+        lib.samtpu_bench_baq_census.restype = ctypes.c_int64
+        lib.samtpu_bench_baq_census.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+        ]
         _lib = lib
     except OSError:
         _lib = None
@@ -195,10 +208,18 @@ def bgzf_scan(data) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 
 
 def bgzf_inflate(data, coffs: np.ndarray, bsizes: np.ndarray,
-                 out_size: int, threads: int) -> bytes:
+                 out_size: int, threads: int,
+                 out: np.ndarray | None = None) -> bytes:
+    """Inflate BGZF blocks.  ``out``: optional reusable output buffer —
+    freshly mmapped numpy buffers pay one page fault per 4 KiB on first
+    touch (5x wall on multi-hundred-MB windows, worse with threads
+    contending on the mm lock), so hot loops pass a persistent buffer.
+    The returned array is a view of ``out`` in that case: consume or
+    copy before the next call."""
     lib = _load()
     src = np.frombuffer(data, np.uint8)
-    out = np.empty(out_size, np.uint8)
+    if out is None or out.size < out_size:
+        out = np.empty(out_size, np.uint8)
     nblk = coffs.size
     coffs = np.ascontiguousarray(coffs, np.int64)
     bsizes = np.ascontiguousarray(bsizes, np.int64)
@@ -301,6 +322,59 @@ def bam_decode_columns(data: np.ndarray, offs: np.ndarray, threads: int,
                        else zero)
     cols["aux_off"] = aux_off if fields & FIELD_AUX else zero
     return cols
+
+
+def baq_batch(pos: np.ndarray, cigar: np.ndarray, cigar_off: np.ndarray,
+              seq: np.ndarray, qual: np.ndarray, seq_off: np.ndarray,
+              ref_int: np.ndarray, flag: int = 3, threads: int = 1
+              ) -> tuple[np.ndarray, np.ndarray]:
+    """Batched BAQ recompute (sam_prob_realn, no stored-tag handling).
+
+    Returns (new_qual flat array, skipped bool per read).  Skipped reads
+    keep their original quals in the output.  Bit-identical to
+    ops.baq.sam_prob_realn_single's recompute path (f64 banded HMM).
+    """
+    lib = _load()
+    n = int(pos.size)
+    pos = np.ascontiguousarray(pos, np.int64)
+    cigar = np.ascontiguousarray(cigar, np.uint32)
+    cigar_off = np.ascontiguousarray(cigar_off, np.int64)
+    seq = np.ascontiguousarray(seq, np.uint8)
+    qual = np.ascontiguousarray(qual, np.uint8)
+    seq_off = np.ascontiguousarray(seq_off, np.int64)
+    ref_int = np.ascontiguousarray(ref_int, np.uint8)
+    out = qual.copy()
+    skipped = np.empty(n, np.uint8)
+    rc = lib.samtpu_baq_batch(
+        pos.ctypes.data, cigar.ctypes.data, cigar_off.ctypes.data,
+        seq.ctypes.data, qual.ctypes.data, seq_off.ctypes.data, n,
+        ref_int.ctypes.data, ref_int.size, flag, out.ctypes.data,
+        skipped.ctypes.data, max(1, threads))
+    if rc < 0:
+        raise ValueError(f"native BAQ failed (code {rc})")
+    return out, skipped.astype(bool)
+
+
+def bench_baq_census(body: np.ndarray, tid: int, ref_int: np.ndarray,
+                     excl_flags: int = 0x704, min_mapq: int = 0,
+                     min_baseq: int = 13, baq_flag: int = 3
+                     ) -> tuple[np.ndarray, np.ndarray, int]:
+    """Single-core reference mpileup-with-BAQ pipeline (bam_plcmd.c:451
+    sam_prob_realn + :607 column census) — the measured CPU baseline.
+    Returns (census int32[ref_len,5], qsum int64[ref_len], nrec)."""
+    lib = _load()
+    body = np.ascontiguousarray(body)
+    ref_int = np.ascontiguousarray(ref_int, np.uint8)
+    ref_len = int(ref_int.size)
+    census = np.zeros(ref_len * 5, np.int32)
+    qsum = np.zeros(ref_len, np.int64)
+    got = lib.samtpu_bench_baq_census(
+        body.ctypes.data, body.size, tid, ref_int.ctypes.data, ref_len,
+        excl_flags, min_mapq, min_baseq, baq_flag,
+        census.ctypes.data, qsum.ctypes.data)
+    if got < 0:
+        raise ValueError("corrupt BAM record (bench baq census)")
+    return census.reshape(ref_len, 5), qsum, int(got)
 
 
 def bench_depth(body: np.ndarray, tid: int, ref_len: int,

@@ -79,6 +79,7 @@ class BamStream:
         self.window_bytes = window_bytes
         self._f = open(path, "rb")
         self._size = os.fstat(self._f.fileno()).st_size
+        self._ibuf: np.ndarray | None = None  # reusable inflate buffer
         self._index: BamIndex | None = None
         self._index_tried = False
         # decode the header from the first window(s)
@@ -106,7 +107,12 @@ class BamStream:
                                 np.zeros(1, np.int64))
         span = int(coffs[-1] + bsizes[-1])
         data, uoffs = bgzf.inflate_blocks(raw[:span], coffs, bsizes,
-                                          self.threads)
+                                          self.threads, out=self._ibuf)
+        if data.base is not None and self._ibuf is not None \
+                and data.base is self._ibuf:
+            pass  # reused our buffer
+        elif data.size >= (1 << 20):
+            self._ibuf = data.base if data.base is not None else data
         return _BlockWindow(data, coffs + cbeg, bsizes, uoffs)
 
     def _read_header(self) -> tuple[SamHeader, int]:

@@ -471,3 +471,438 @@ uint32_t samtpu_crc32(uint32_t seed, const uint8_t* data, int64_t n) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// BAQ (per-Base Alignment Quality): banded glocal pair-HMM, double
+// precision, bit-identical to ops/baq.py probaln_glocal (itself validated
+// against the samtools golden pileups; consumed at
+// /root/reference/bam_plcmd.c:451 via htslib sam_prob_realn).  This native
+// implementation serves two roles: the measured single-core CPU baseline
+// for bench.py (the reference's mpileup-with-BAQ architecture), and the
+// fast host path for the framework's own mpileup/calmd tools.
+
+#include <cmath>
+
+namespace {
+
+// nt16 -> 2-bit int (4 = ambiguous), htslib seq_nt16_int
+static const uint8_t kNt16Int[16] = {4, 0, 1, 4, 2, 4, 4, 4,
+                                     3, 4, 4, 4, 4, 4, 4, 4};
+static const double kEI = 0.25;
+static const double kEM = 1.0 / 3.0;
+static const double kPD = 0.001;  // probaln_par d
+static const double kPE = 0.1;    // probaln_par e
+
+struct BaqWork {  // reusable per-thread DP scratch
+  std::vector<double> f, b, s;
+  std::vector<int32_t> state;
+  std::vector<int32_t> bq;
+  std::vector<double> qtab;  // 10^(-q/10) per base
+};
+
+// Banded forward/backward posterior decode; ref/query are 0-4 codes.
+// Returns 0 on success (state/bq filled), -1 when skipped.
+static int probaln_glocal(const uint8_t* ref, int64_t l_ref,
+                          const uint8_t* query, int64_t l_query,
+                          const uint8_t* iqual, int bandwidth, BaqWork* w) {
+  if (l_ref <= 0 || l_query <= 0) return -1;
+  int64_t bw = l_ref > l_query ? l_ref : l_query;
+  if (bw > bandwidth) bw = bandwidth;
+  int64_t dlr = l_ref > l_query ? l_ref - l_query : l_query - l_ref;
+  if (bw < dlr) bw = dlr;
+  const int64_t bw2 = bw * 2 + 1;
+  const int64_t W = bw2 * 3 + 6;
+  w->f.assign((size_t)((l_query + 1) * W), 0.0);
+  w->b.assign((size_t)((l_query + 1) * W), 0.0);
+  w->s.assign((size_t)(l_query + 2), 0.0);
+  w->qtab.resize((size_t)l_query);
+  w->state.resize((size_t)l_query);
+  w->bq.resize((size_t)l_query);
+  double* f = w->f.data();
+  double* b = w->b.data();
+  double* s = w->s.data();
+  double* qual = w->qtab.data();
+  for (int64_t i = 0; i < l_query; ++i)
+    qual[i] = std::pow(10.0, -(double)iqual[i] / 10.0);
+
+  const double sM = 1.0 / (2 * (double)l_query + 2), sI = sM;
+  double m[9];
+  m[0] = (1 - kPD - kPD) * (1 - sM);
+  m[1] = m[2] = kPD * (1 - sM);
+  m[3] = (1 - kPE) * (1 - sI);
+  m[4] = kPE * (1 - sI);
+  m[5] = 0.0;
+  m[6] = 1 - kPE;
+  m[7] = 0.0;
+  m[8] = kPE;
+  const double bM = (1 - kPD) / (double)l_ref;
+  const double bI = kPD / (double)l_ref;
+
+  auto set_u = [bw](int64_t i, int64_t k) -> int64_t {
+    int64_t x = k - i + bw;
+    if (x < 0) x = 0;
+    return x * 3;
+  };
+  auto ematch = [&](int64_t rk /*ref index 0-based*/, uint8_t qy,
+                    double ql) -> double {
+    uint8_t rb = ref[rk];
+    if (rb > 3 || qy > 3) return 1.0;
+    return rb == qy ? 1.0 - ql : ql * kEM;
+  };
+
+  // ---- forward ----
+  f[0 * W + set_u(0, 0)] = s[0] = 1.0;
+  {  // row 1
+    int64_t beg = 1, end = l_ref < bw + 1 ? l_ref : bw + 1;
+    double* f1 = f + W;
+    double sum = 0.0;
+    for (int64_t k = beg; k <= end; ++k) {
+      int64_t u = set_u(1, k);
+      double e = ematch(k - 1, query[0], qual[0]);
+      f1[u] = e * bM;
+      f1[u + 1] = kEI * bI;
+      sum += f1[u];
+      sum += f1[u + 1];
+    }
+    s[1] = sum;
+    int64_t lo = set_u(1, beg), hi = set_u(1, end) + 2;
+    for (int64_t u = lo; u <= hi; ++u) f1[u] /= sum;  // divide (not recip)
+  }
+  for (int64_t i = 2; i <= l_query; ++i) {
+    double* fi = f + i * W;
+    const double* fi1 = f + (i - 1) * W;
+    double ql = qual[i - 1];
+    uint8_t qy = query[i - 1];
+    int64_t beg = i - bw > 1 ? i - bw : 1;
+    int64_t end = i + bw < l_ref ? i + bw : l_ref;
+    double sum = 0.0;
+    for (int64_t k = beg; k <= end; ++k) {
+      int64_t u = set_u(i, k);
+      int64_t v11 = set_u(i - 1, k - 1);
+      int64_t v10 = set_u(i - 1, k);
+      int64_t v01 = set_u(i, k - 1);
+      double e = ematch(k - 1, qy, ql);
+      fi[u] = e * (m[0] * fi1[v11] + m[3] * fi1[v11 + 1] +
+                   m[6] * fi1[v11 + 2]);
+      fi[u + 1] = kEI * (m[1] * fi1[v10] + m[4] * fi1[v10 + 1]);
+      fi[u + 2] = m[2] * fi[v01] + m[8] * fi[v01 + 2];
+      sum += fi[u];
+      sum += fi[u + 1];
+      sum += fi[u + 2];
+    }
+    s[i] = sum;
+    double inv = 1.0 / sum;
+    int64_t lo = set_u(i, beg), hi = set_u(i, end) + 2;
+    for (int64_t u = lo; u <= hi; ++u) fi[u] *= inv;  // reciprocal-multiply
+  }
+  {  // f[l_query+1]
+    double total = 0.0;
+    const double* fl = f + l_query * W;
+    for (int64_t k = 1; k <= l_ref; ++k) {
+      int64_t u = set_u(l_query, k);
+      if (u < 3 || u >= bw2 * 3 + 3) continue;
+      total += fl[u] * sM + fl[u + 1] * sI;
+    }
+    s[l_query + 1] = total;
+  }
+
+  // ---- backward ----
+  {
+    double* bl = b + l_query * W;
+    for (int64_t k = 1; k <= l_ref; ++k) {
+      int64_t u = set_u(l_query, k);
+      if (u < 3 || u >= bw2 * 3 + 3) continue;
+      bl[u] = sM / s[l_query] / s[l_query + 1];
+      bl[u + 1] = sI / s[l_query] / s[l_query + 1];
+    }
+  }
+  for (int64_t i = l_query - 1; i >= 1; --i) {
+    double* bi = b + i * W;
+    const double* bi1 = b + (i + 1) * W;
+    double ql1 = qual[i];
+    uint8_t qy1 = query[i];
+    int64_t beg = i - bw > 1 ? i - bw : 1;
+    int64_t end = i + bw < l_ref ? i + bw : l_ref;
+    for (int64_t k = end; k >= beg; --k) {
+      int64_t u = set_u(i, k);
+      int64_t v11 = set_u(i + 1, k + 1);
+      int64_t v10 = set_u(i + 1, k);
+      int64_t v01 = set_u(i, k + 1);
+      double ee;
+      if (k >= l_ref)
+        ee = 0.0;
+      else if (ref[k] > 3 || qy1 > 3)
+        ee = 1.0 * bi1[v11];
+      else if (ref[k] == qy1)
+        ee = (1.0 - ql1) * bi1[v11];
+      else
+        ee = ql1 * kEM * bi1[v11];
+      bi[u] = ee * m[0] + kEI * m[1] * bi1[v10 + 1] + m[2] * bi[v01 + 2];
+      bi[u + 1] = ee * m[3] + kEI * m[4] * bi1[v10 + 1];
+      bi[u + 2] = ee * m[6] + m[8] * bi[v01 + 2];
+    }
+    double inv = 1.0 / s[i];
+    int64_t lo = set_u(i, beg), hi = set_u(i, end) + 2;
+    for (int64_t u = lo; u <= hi; ++u) bi[u] *= inv;
+  }
+
+  // ---- posterior decode ----
+  for (int64_t i = 1; i <= l_query; ++i) {
+    const double* fi = f + i * W;
+    const double* bi = b + i * W;
+    int64_t beg = i - bw > 1 ? i - bw : 1;
+    int64_t end = i + bw < l_ref ? i + bw : l_ref;
+    double sum = 0.0, mx = 0.0;
+    int64_t max_k = -1;
+    for (int64_t k = beg; k <= end; ++k) {
+      int64_t u = set_u(i, k);
+      double z = fi[u] * bi[u];
+      if (z > mx) {
+        mx = z;
+        max_k = (k - 1) << 2 | 0;
+      }
+      sum += z;
+      z = fi[u + 1] * bi[u + 1];
+      if (z > mx) {
+        mx = z;
+        max_k = (k - 1) << 2 | 1;
+      }
+      sum += z;
+    }
+    if (mx <= 0.0) {
+      max_k = -1;
+      mx = 0.0;
+    }
+    double mxn = sum > 0 ? mx / sum : 0.0;
+    w->state[(size_t)(i - 1)] = (int32_t)max_k;
+    int kq = mxn < 1.0 ? (int)(-4.343 * std::log1p(-mxn) + 0.499) : 100;
+    w->bq[(size_t)(i - 1)] = kq > 100 ? 99 : kq;
+  }
+  return 0;
+}
+
+// One-read sam_prob_realn (recompute path; BQ/ZQ tag handling stays in the
+// Python caller).  Matches ops/baq.py sam_prob_realn_single semantics.
+// flag: 1 apply, 2 extend.  On success writes capped quals to out_qual
+// (l_qseq bytes) and returns 0; returns -1 when BAQ is skipped (caller
+// keeps the original quals).
+static int baq_one(int64_t pos, const uint32_t* cigar, int64_t n_cigar,
+                   const uint8_t* seq_nt16, const uint8_t* qual,
+                   int64_t l_qseq, const uint8_t* ref_int, int64_t ref_len,
+                   int flag, uint8_t* out_qual, BaqWork* w) {
+  const int apply_baq = flag & 1, extend_baq = (flag >> 1) & 1;
+  if (l_qseq == 0 || qual[0] == 0xFF) return -1;
+  int64_t x = pos, y = 0, xb = -1, yb = -1, xe = -1, ye = -1;
+  for (int64_t c = 0; c < n_cigar; ++c) {
+    uint32_t op = cigar[c] & 0xF;
+    int64_t ln = cigar[c] >> 4;
+    if (op == 0 || op == 7 || op == 8) {  // M/=/X
+      if (yb < 0) yb = y;
+      if (xb < 0) xb = x;
+      ye = y + ln;
+      xe = x + ln;
+      x += ln;
+      y += ln;
+    } else if (op == 4 || op == 1) {  // S/I
+      y += ln;
+    } else if (op == 2) {  // D
+      x += ln;
+    } else if (op == 3) {  // N
+      return -1;
+    }
+  }
+  if (xb < 0) return -1;
+  int64_t bw = 7;
+  int64_t diff = (xe - xb) - (ye - yb);
+  if (diff < 0) diff = -diff;
+  if (diff > bw) bw = diff + 3;
+  xb -= (yb < xb ? yb : xb);  // see ops/baq.py extent-rule note
+  xe += l_qseq - ye + bw / 2;
+  if (xe > ref_len) xe = ref_len;
+  if (xe <= xb) return -1;
+
+  // query as 0-4 codes
+  std::vector<uint8_t> q4((size_t)l_qseq);
+  for (int64_t i = 0; i < l_qseq; ++i) q4[(size_t)i] = kNt16Int[seq_nt16[i]];
+  if (probaln_glocal(ref_int + xb, xe - xb, q4.data(), l_qseq, qual,
+                     (int)bw, w) < 0)
+    return -1;
+
+  // per-M-op state check + cap + (extended) smoothing
+  std::vector<int64_t> bqv((size_t)l_qseq);
+  for (int64_t i = 0; i < l_qseq; ++i) bqv[(size_t)i] = w->bq[(size_t)i];
+  x = pos;
+  y = 0;
+  for (int64_t c = 0; c < n_cigar; ++c) {
+    uint32_t op = cigar[c] & 0xF;
+    int64_t ln = cigar[c] >> 4;
+    if (op == 0 || op == 7 || op == 8) {
+      for (int64_t i = y; i < y + ln; ++i) {
+        int32_t st = w->state[(size_t)i];
+        if ((st & 3) != 0 || (st >> 2) != x - xb + (i - y))
+          bqv[(size_t)i] = 0;
+        else if (bqv[(size_t)i] > qual[i])
+          bqv[(size_t)i] = qual[i];
+      }
+      if (extend_baq && ln > 0) {
+        // min(prefix-running-max, suffix-running-max) within the op
+        int64_t left = 0;
+        std::vector<int64_t> lq((size_t)ln);
+        for (int64_t i = 0; i < ln; ++i) {
+          if (bqv[(size_t)(y + i)] > left) left = bqv[(size_t)(y + i)];
+          lq[(size_t)i] = left;
+        }
+        int64_t rght = 0;
+        for (int64_t i = ln - 1; i >= 0; --i) {
+          if (bqv[(size_t)(y + i)] > rght) rght = bqv[(size_t)(y + i)];
+          bqv[(size_t)(y + i)] = lq[(size_t)i] < rght ? lq[(size_t)i] : rght;
+        }
+      }
+      x += ln;
+      y += ln;
+    } else if (op == 4 || op == 1) {
+      y += ln;
+    } else if (op == 2) {
+      x += ln;
+    }
+  }
+  // final: apply (newq = min(q, bqv) via the 64-offset tag arithmetic)
+  for (int64_t i = 0; i < l_qseq; ++i) {
+    int64_t q = qual[i];
+    int64_t fbq = q <= bqv[(size_t)i] ? 0 : q - bqv[(size_t)i];
+    out_qual[i] = (uint8_t)(apply_baq ? q - fbq : q);
+  }
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Columnar batched BAQ over decoded arrays (the framework's host fast
+// path).  seq holds unpacked nt16 codes, ref_int 0-4 contig codes.
+// out_qual must be a copy of qual (skipped reads keep originals);
+// skipped[i]=1 marks reads where BAQ did not apply.  Thread-parallel
+// over reads (each read independent).  Returns n or <0 on error.
+int64_t samtpu_baq_batch(const int64_t* pos, const uint32_t* cigar,
+                         const int64_t* cigar_off, const uint8_t* seq,
+                         const uint8_t* qual, const int64_t* seq_off,
+                         int64_t n, const uint8_t* ref_int, int64_t ref_len,
+                         int flag, uint8_t* out_qual, uint8_t* skipped,
+                         int threads) {
+  std::atomic<int64_t> err{0};
+  auto work = [&](int64_t lo, int64_t hi) {
+    BaqWork w;
+    for (int64_t i = lo; i < hi; ++i) {
+      int64_t lq = seq_off[i + 1] - seq_off[i];
+      int rc = baq_one(pos[i], cigar + cigar_off[i],
+                       cigar_off[i + 1] - cigar_off[i], seq + seq_off[i],
+                       qual + seq_off[i], lq, ref_int, ref_len, flag,
+                       out_qual + seq_off[i], &w);
+      skipped[i] = rc < 0 ? 1 : 0;
+    }
+  };
+  int nt = threads > 1 ? threads : 1;
+  if (nt > n) nt = n > 0 ? (int)n : 1;
+  if (nt <= 1) {
+    work(0, n);
+  } else {
+    std::vector<std::thread> ws;
+    int64_t per = (n + nt - 1) / nt;
+    for (int t = 0; t < nt; ++t) {
+      int64_t lo = t * per, hi = lo + per < n ? lo + per : n;
+      if (lo >= hi) break;
+      ws.emplace_back(work, lo, hi);
+    }
+    for (auto& w2 : ws) w2.join();
+  }
+  if (err.load() < 0) return err.load();
+  return n;
+}
+
+// Single-core reference pipeline for bench.py: the mpileup-with-BAQ
+// architecture (bam_plcmd.c:451 sam_prob_realn + :607 column loop) as one
+// measured loop: walk records, BAQ-adjust quals, accumulate the
+// per-position base census gated at min_baseq.  census: int32[ref_len*5]
+// (A,C,G,T,other by seq_nt16_int), qsum: int64[ref_len] summed capped
+// quals of counted bases.  Returns records processed.
+int64_t samtpu_bench_baq_census(const uint8_t* data, int64_t n,
+                                int32_t want_tid, const uint8_t* ref_int,
+                                int64_t ref_len, int excl_flags, int min_mapq,
+                                int min_baseq, int baq_flag, int32_t* census,
+                                int64_t* qsum) {
+  int64_t off = 0, cnt = 0;
+  BaqWork w;
+  std::vector<uint8_t> seq4;
+  std::vector<uint8_t> bq;
+  while (off + 4 <= n) {
+    uint32_t bs;
+    std::memcpy(&bs, data + off, 4);
+    if (bs == 0 || off + 4 + (int64_t)bs > n) return -1;
+    const uint8_t* r = data + off;
+    off += 4 + (int64_t)bs;
+    int32_t tid;
+    std::memcpy(&tid, r + 4, 4);
+    uint16_t flag;
+    std::memcpy(&flag, r + 18, 2);
+    if (tid != want_tid || (flag & excl_flags)) continue;
+    if (r[13] < min_mapq) continue;
+    int32_t pos;
+    std::memcpy(&pos, r + 8, 4);
+    uint8_t l_read_name = r[12];
+    uint16_t n_cigar;
+    std::memcpy(&n_cigar, r + 16, 2);
+    int32_t l_seq;
+    std::memcpy(&l_seq, r + 20, 4);
+    const uint32_t* cig =
+        reinterpret_cast<const uint32_t*>(r + kFixed + l_read_name);
+    const uint8_t* packed = r + kFixed + l_read_name + 4 * n_cigar;
+    const uint8_t* qual = packed + (l_seq + 1) / 2;
+    // unpack nibbles
+    seq4.resize((size_t)l_seq);
+    for (int32_t j = 0; j < l_seq / 2; ++j) {
+      seq4[(size_t)(2 * j)] = packed[j] >> 4;
+      seq4[(size_t)(2 * j + 1)] = packed[j] & 0xF;
+    }
+    if (l_seq & 1) seq4[(size_t)(l_seq - 1)] = packed[l_seq / 2] >> 4;
+    bq.assign(qual, qual + l_seq);
+    if (baq_flag)
+      baq_one(pos, cig, n_cigar, seq4.data(), qual, l_seq, ref_int, ref_len,
+              baq_flag, bq.data(), &w);
+    // census accumulate (M/=/X bases, min_baseq gate)
+    int64_t rp = pos, qp = 0;
+    for (uint16_t k = 0; k < n_cigar; ++k) {
+      uint32_t op = cig[k] & 0xF, len = cig[k] >> 4;
+      switch (op) {
+        case 0:
+        case 7:
+        case 8:
+          for (uint32_t j = 0; j < len; ++j) {
+            int64_t p2 = rp + j;
+            if (p2 < 0 || p2 >= ref_len) continue;
+            uint8_t q = bq[(size_t)(qp + j)];
+            if (q < min_baseq) continue;
+            census[p2 * 5 + kNt16Int[seq4[(size_t)(qp + j)]]]++;
+            qsum[p2] += q;
+          }
+          rp += len;
+          qp += len;
+          break;
+        case 1:
+        case 4:
+          qp += len;
+          break;
+        case 2:
+        case 3:
+          rp += len;
+          break;
+        default:
+          break;
+      }
+    }
+    ++cnt;
+  }
+  return cnt;
+}
+
+}  // extern "C"

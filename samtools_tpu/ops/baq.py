@@ -270,6 +270,15 @@ def sam_prob_realn_single(pos: int, cigar: np.ndarray, seq: np.ndarray,
     bw = 7
     if abs((xe - xb) - (ye - yb)) > bw:
         bw = abs((xe - xb) - (ye - yb)) + 3
+    # Alignment-extent rule.  Investigated 2026-08-21 against expected/21.out
+    # (-E recomputes BAQ for every read, the cleanest contract): htslib
+    # appears to extend the window left by yb + bw/2 (with that extent our
+    # base1+ posteriors match the golden exactly where the yb-only extent
+    # is too confident), BUT its rewritten first-row treatment keeps base0
+    # higher than the paper HMM yields (golden base0 always lies strictly
+    # between our bqv[0] and bqv[1]; no normalization/band/float variant
+    # tested reproduces it).  Until that first-row rule is recovered, the
+    # yb-only extent minimizes golden mismatches (11 reg fails vs 17).
     xb -= min(yb, xb)
     xe += l_qseq - ye + bw // 2
     if xe > ref_len:
@@ -331,13 +340,22 @@ def _retag(aux: np.ndarray, old: str, new: str, val: str) -> np.ndarray:
 
 def apply_baq_batch(sub, ref: bytes, ref_len: int, redo: bool = False):
     """Apply BAQ in place to a sub-batch on one contig (mplp_func order:
-    per read, flag 3 or 7)."""
+    per read, flag 3 or 7).
+
+    Fast path: reads with no stored BQ/ZQ tag go through the native
+    batched HMM (samtpu_baq_batch, bit-identical f64, thread-parallel);
+    tag-bearing reads and the tag-append bookkeeping stay in Python."""
     if sub.n == 0:
         return
     from ..io.sam_text import NT16_LUT
     refarr = np.frombuffer(ref, np.uint8)
     ref_int = NT16_INT[NT16_LUT[refarr]]
     flag = 7 if redo else 3
+
+    native_done = _apply_baq_native(sub, ref_int, flag)
+    if native_done is not None:
+        return
+
     aux_parts = []
     aux_changed = False
     for i in range(sub.n):
@@ -359,6 +377,33 @@ def apply_baq_batch(sub, ref: bytes, ref_len: int, redo: bool = False):
         sub.aux = (np.concatenate(aux_parts).astype(np.uint8)
                    if aux_parts else np.empty(0, np.uint8))
         sub.aux_off = new_off
+
+
+def _apply_baq_native(sub, ref_int: np.ndarray, flag: int):
+    """Native batched recompute when no read carries a BQ/ZQ tag (the
+    stored-tag conversions and aux appends need the Python path).
+    Returns True when handled, None to fall back."""
+    try:
+        from ..io import native
+        if not native.available():
+            return None
+    except (ImportError, OSError):
+        return None
+    raw = sub.aux.tobytes()
+    if b"BQZ" in raw or b"ZQZ" in raw:
+        return None  # possible stored tag (conservative substring test)
+    if not (flag & 1):
+        return None  # BQ-tag-only mode needs aux appends
+    import os
+    threads = int(os.environ.get("SAMTPU_THREADS", "2"))
+    from ..core import metrics
+    with metrics.stage("native.baq", sub.n, "reads"):
+        out, _ = native.baq_batch(sub.pos, sub.cigar, sub.cigar_off,
+                                  sub.seq, sub.qual, sub.seq_off,
+                                  np.ascontiguousarray(ref_int, np.uint8),
+                                  flag=3, threads=threads)
+    sub.qual[:] = out
+    return True
 
 
 def cap_mapq_batch(sub, ref: bytes, ref_len: int, thres: int) -> np.ndarray:

@@ -1,0 +1,310 @@
+"""Device BAQ: the banded glocal pair-HMM batched over reads.
+
+The reference computes BAQ per read in scalar C (htslib sam_prob_realn,
+consumed at /root/reference/bam_plcmd.c:451) — the dominant cost of
+default mpileup.  Here the whole DP runs as [batch, band] vector ops on
+the TPU VPU: a `lax.scan` over query rows carrying the three HMM states
+as [B, W] lanes (W = 2*bw+1 band slots), with the within-row D-state
+recurrences expressed as small Toeplitz matmuls (the serial scan
+`D[j] = c[j] + m8*D[j-1]` is `c @ T` with T[t,j] = m8^(j-t) lower
+triangular — an MXU-shaped contraction instead of a W-step loop).
+
+Banded-coordinate quirks of the reference implementation (set_u index
+clamping, the row-l_query j=0 exclusion, the one-slot zero padding read
+by the forward I-transition) are replicated exactly — see the comments
+at each site.  Arithmetic is float32: bit-parity with the f64 host HMM
+(ops/baq.py, native samtpu_baq_batch) is recovered by detecting
+rounding-boundary-adjacent posteriors on device and recomputing those
+few reads on the host (`uncertain` mask), GATK-PairHMM-style dynamic
+precision.
+
+Restrictions of the device path (callers route non-conforming reads to
+the host): uniform query length, all-M cigars (no indels/clips, so one
+smoothing segment and a constant expected diagonal), uniform band bw=7,
+window not clamped by a contig edge.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+from .. import device as _device  # noqa: F401  (platform selection)
+
+PD = 0.001
+PE = 0.1
+EI = 0.25
+EM = 1.0 / 3.0
+
+# margin (in phred units) below which an f32 posterior is considered at
+# risk of rounding differently than the f64 host HMM
+PHRED_MARGIN = 1.5e-3
+# relative margin for best-state ties in the posterior argmax
+TIE_MARGIN = 1e-4
+
+
+def _toeplitz(W: int, decay: float, lower: bool, dtype):
+    """T[t, j] = decay^(j-t) for j>=t (lower) / decay^(t-j) for t>=j."""
+    import jax.numpy as jnp
+    t = np.arange(W)
+    d = t[None, :] - t[:, None] if lower else t[:, None] - t[None, :]
+    M = np.where(d >= 0, np.power(decay, np.maximum(d, 0)), 0.0)
+    return jnp.asarray(M, dtype)
+
+
+@partial(
+    __import__("jax").jit,
+    static_argnames=("l_query", "l_ref", "bw"))
+def _probaln_batch(ref_win, query, qual, diag_off, l_query: int,
+                   l_ref: int, bw: int):
+    """Banded glocal HMM for B same-shape reads.
+
+    ref_win: uint8[B, l_ref] 0-4 codes; query: uint8[B, l_query];
+    qual: uint8[B, l_query]; diag_off: int32[B] = pos - xb (expected
+    state k-1 at base i is diag_off + i).
+
+    Returns (bq int32[B, l_query], good bool[B, l_query] state-check,
+    risky bool[B]).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    f32 = jnp.float32
+    B = ref_win.shape[0]
+    W = 2 * bw + 1
+
+    qln = jnp.power(f32(10.0), -qual.astype(f32) / 10.0)   # [B, LQ]
+    sM = 1.0 / (2 * l_query + 2)
+    m0 = (1 - 2 * PD) * (1 - sM)
+    m1 = m2 = PD * (1 - sM)
+    m3 = (1 - PE) * (1 - sM)
+    m4 = PE * (1 - sM)
+    m6 = 1 - PE
+    m8 = PE
+    bM = (1 - PD) / l_ref
+    bI = PD / l_ref
+
+    TL = _toeplitz(W, m8, lower=True, dtype=f32)    # forward D chain
+    TU = _toeplitz(W, m8, lower=False, dtype=f32)   # backward D chain
+
+    # ref padded so a dynamic slice of width W at offset i-1 yields
+    # ref[i+j-bw-1] for j in [0, W) (code 15 > 3 == ambiguous; every
+    # out-of-band j is masked before use)
+    refp = jnp.pad(ref_win, ((0, 0), (bw + 1, bw + 1)),
+                   constant_values=15)
+
+    js = jnp.arange(W, dtype=jnp.int32)
+
+    def band_mask(i):
+        # valid k = i + j - bw in [max(1, i-bw), min(l_ref, i+bw)]
+        k = i + js - bw
+        return (k >= jnp.maximum(1, i - bw)) & (k <= jnp.minimum(
+            l_ref, i + bw))
+
+    def emis(i, qrow, qlrow):
+        """e(ref[k-1], query[i-1]) for band j (forward row i)."""
+        rslice = jax.lax.dynamic_slice(refp, (0, i - 1 + bw + 1 - bw),
+                                       (B, W))  # ref[i+j-bw-1]
+        q = qrow[:, None]
+        ql = qlrow[:, None]
+        amb = (rslice > 3) | (q > 3)
+        return jnp.where(amb, f32(1.0),
+                         jnp.where(rslice == q, 1.0 - ql, ql * EM))
+
+    # ---------------- forward ----------------
+    def fwd_row1():
+        i = 1
+        e = emis(i, query[:, 0], qln[:, 0])
+        # C row 1: k in [1, min(l_ref, bw+1)] -> j in [bw, min(2bw, ...)]
+        k = i + js - bw
+        mask = (k >= 1) & (k <= min(l_ref, bw + 1))
+        fM = jnp.where(mask, e * bM, 0.0)
+        fI = jnp.where(mask, f32(EI * bI), 0.0)
+        s = (fM + fI).sum(-1)
+        return fM / s[:, None], fI / s[:, None], jnp.zeros_like(fM), s
+
+    fM1, fI1, fD1, s1 = fwd_row1()
+
+    def fwd_step(carry, xs):
+        pM, pI, pD = carry
+        i, qrow, qlrow = xs
+        e = emis(i, qrow, qlrow)
+        mask = band_mask(i)
+        # v11 -> prev j ; v10 -> prev j+1 (one zero pad slot, as in the
+        # C array's trailing padding)
+        pMs = jnp.pad(pM, ((0, 0), (0, 1)))[:, 1:]
+        pIs = jnp.pad(pI, ((0, 0), (0, 1)))[:, 1:]
+        fM = e * (m0 * pM + m3 * pI + m6 * pD)
+        fI = EI * (m1 * pMs + m4 * pIs)
+        fM = jnp.where(mask, fM, 0.0)
+        fI = jnp.where(mask, fI, 0.0)
+        # D chain: D[j] = m2*M[j-1] + m8*D[j-1]; the j=0 slot reads the
+        # set_u-clamped alias of its own M (C reads fi[0*3] which holds
+        # this row's just-written fM at j=0)
+        Mshift = jnp.concatenate([fM[:, :1], fM[:, :-1]], axis=1)
+        fD = (m2 * Mshift) @ TL
+        fD = jnp.where(mask, fD, 0.0)
+        s = (fM + fI + fD).sum(-1)
+        inv = 1.0 / s[:, None]
+        fM, fI, fD = fM * inv, fI * inv, fD * inv
+        return (fM, fI, fD), (fM, fI, s)
+
+    rows = jnp.arange(2, l_query + 1, dtype=jnp.int32)
+    (_, _, _), (fMs, fIs, ss) = jax.lax.scan(
+        fwd_step, (fM1, fI1, fD1),
+        (rows, query[:, 1:].T, qln[:, 1:].T))
+    # stack row 1 in front: fMs [LQ, B, W]
+    fMs = jnp.concatenate([fM1[None], fMs], axis=0)
+    fIs = jnp.concatenate([fI1[None], fIs], axis=0)
+    s_all = jnp.concatenate([s1[None], ss], axis=0)     # [LQ, B]
+
+    # s[l_query+1]: sum over k with the u-bounds quirk (j in [1, 2bw])
+    i = l_query
+    k = i + js - bw
+    mask_end = (k >= 1) & (k <= l_ref) & (js >= 1) & (js <= 2 * bw)
+    s_end = ((fMs[-1] * sM + fIs[-1] * sM) * mask_end[None, :]).sum(-1)
+
+    # ---------------- backward + decode ----------------
+    bM_init = jnp.where(mask_end[None, :],
+                        sM / s_all[-1][:, None] / s_end[:, None], 0.0)
+    bI_init = bM_init
+
+    def bwd_step(carry, xs):
+        nM, nI, nD = carry      # b rows at i+1, already scaled by 1/s[i+1]
+        i, fM_i, fI_i, s_i = xs
+        # emission of row i+1 at ref[k] (0-based), zero where k >= l_ref
+        rslice = jax.lax.dynamic_slice(refp, (0, i + 1), (B, W))
+        q1 = query[:, :].T[jnp.minimum(i, l_query - 1)]  # query[i] (0-based)
+        ql1 = qln.T[jnp.minimum(i, l_query - 1)]
+        amb = (rslice > 3) | (q1[:, None] > 3)
+        e1 = jnp.where(amb, f32(1.0),
+                       jnp.where(rslice == q1[:, None], 1.0 - ql1[:, None],
+                                 ql1[:, None] * EM))
+        k = i + js - bw
+        e1 = jnp.where(k[None, :] >= l_ref, 0.0, e1)
+        ee = e1 * nM                        # e * b_{i+1}[v11]
+        # v10+1: next-row I at j-1, set_u clamped to j=0 at the left edge
+        nIs = jnp.concatenate([nI[:, :1], nI[:, :-1]], axis=1)
+        bD = (ee * m6) @ TU                 # D[j] = ee*m6 + m8*D[j+1]
+        bDs = jnp.pad(bD, ((0, 0), (0, 1)))[:, 1:]   # D[j+1], zero pad
+        bMr = ee * m0 + EI * m1 * nIs + m2 * bDs
+        bIr = ee * m3 + EI * m4 * nIs
+        mask = band_mask(i)
+        bMr = jnp.where(mask, bMr, 0.0)
+        bIr = jnp.where(mask, bIr, 0.0)
+        bD = jnp.where(mask, bD, 0.0)
+        inv = 1.0 / s_i[:, None]
+        bMr, bIr, bD = bMr * inv, bIr * inv, bD * inv
+
+        # decode row i with stored f and fresh b
+        zM = fM_i * bMr
+        zI = fI_i * bIr
+        zsum = (zM + zI).sum(-1)
+        z2 = jnp.stack([zM, zI], axis=-1).reshape(B, 2 * W)
+        best = jnp.argmax(z2, axis=-1)
+        mx = jnp.take_along_axis(z2, best[:, None], axis=-1)[:, 0]
+        # second-best for tie-margin risk
+        z2m = z2.at[jnp.arange(B), best].set(-jnp.inf)
+        mx2 = z2m.max(-1)
+        mxn = jnp.where(zsum > 0, mx / zsum, 0.0)
+        val = -4.343 * jnp.log1p(-jnp.minimum(mxn, 1 - 1e-30)) + 0.499
+        kq = jnp.where(mxn < 1.0, val.astype(jnp.int32), 100)
+        bq = jnp.where(kq > 100, 99, kq)
+        frac = val - jnp.floor(val)
+        risky = (jnp.minimum(frac, 1 - frac) < PHRED_MARGIN) | \
+                (mx2 > (1 - TIE_MARGIN) * mx)
+        kbest = best // 2 + i - 1 - bw      # k-1 (0-based ref offset)
+        isI = (best % 2).astype(jnp.int32)
+        good = (isI == 0) & (kbest == diag_off + (i - 1)) & (mx > 0)
+        return (bMr, bIr, bD), (bq, good, risky)
+
+    ridx = jnp.arange(l_query - 1, 0, -1, dtype=jnp.int32)
+    (_, _, _), (bqs, goods, riskys) = jax.lax.scan(
+        bwd_step, (bM_init, bI_init, jnp.zeros_like(bM_init)),
+        (ridx, fMs[:-1][::-1], fIs[:-1][::-1], s_all[:-1][::-1]))
+
+    # decode the last row directly (b at l_query is the init row)
+    zM = fMs[-1] * bM_init
+    zI = fIs[-1] * bI_init
+    zsum = (zM + zI).sum(-1)
+    z2 = jnp.stack([zM, zI], axis=-1).reshape(B, 2 * W)
+    best = jnp.argmax(z2, axis=-1)
+    mx = jnp.take_along_axis(z2, best[:, None], axis=-1)[:, 0]
+    z2m = z2.at[jnp.arange(B), best].set(-jnp.inf)
+    mx2 = z2m.max(-1)
+    mxn = jnp.where(zsum > 0, mx / zsum, 0.0)
+    val = -4.343 * jnp.log1p(-jnp.minimum(mxn, 1 - 1e-30)) + 0.499
+    kq = jnp.where(mxn < 1.0, val.astype(jnp.int32), 100)
+    bq_l = jnp.where(kq > 100, 99, kq)
+    frac = val - jnp.floor(val)
+    risky_l = (jnp.minimum(frac, 1 - frac) < PHRED_MARGIN) | \
+              (mx2 > (1 - TIE_MARGIN) * mx)
+    kbest = best // 2 + l_query - 1 - bw
+    isI = (best % 2).astype(jnp.int32)
+    good_l = (isI == 0) & (kbest == diag_off + (l_query - 1)) & (mx > 0)
+
+    # assemble [B, LQ]: rows scanned were l_query-1 .. 1
+    bq_all = jnp.concatenate([bqs[::-1], bq_l[None]], axis=0).T
+    good_all = jnp.concatenate([goods[::-1], good_l[None]], axis=0).T
+    risky_any = jnp.concatenate([riskys[::-1], risky_l[None]],
+                                axis=0).T.any(-1)
+    return bq_all, good_all, risky_any
+
+
+@partial(__import__("jax").jit, static_argnames=("l_query",))
+def _finalize(bq, good, qual, l_query: int):
+    """State-check zeroing, qual cap, extended smoothing (single M op),
+    and the applied-qual arithmetic — all vectorized [B, LQ]."""
+    import jax.numpy as jnp
+    import jax
+    q = qual.astype(jnp.int32)
+    bqv = jnp.where(good, jnp.minimum(bq, q), 0)
+    left = jax.lax.cummax(bqv, axis=1)
+    rght = jax.lax.cummax(bqv[:, ::-1], axis=1)[:, ::-1]
+    bqv = jnp.minimum(left, rght)
+    fbq = jnp.where(q <= bqv, 0, q - bqv)
+    return (q - fbq).astype(jnp.uint8)
+
+
+def baq_apply_device(ref_int: np.ndarray, pos: np.ndarray,
+                     seq4: np.ndarray, qual: np.ndarray,
+                     l_query: int, bw: int = 7,
+                     ref_dev=None, chunk: int = 1 << 13):
+    """Device BAQ for a uniform batch of all-M reads of length l_query.
+
+    ref_int: whole-contig 0-4 codes (uint8); pos: int64[B] read starts;
+    seq4: uint8[B, l_query] 0-4 query codes; qual: uint8[B, l_query].
+    Window rule (ops/baq.py): xb = pos, xe = pos + l_query + bw//2.
+
+    Returns (applied_qual uint8[B, l_query], risky bool[B]).  Risky
+    reads should be recomputed on host for bit-parity.
+    """
+    import jax
+    import jax.numpy as jnp
+    l_ref = l_query + bw // 2
+    B = pos.shape[0]
+    if ref_dev is None:
+        ref_dev = jax.device_put(jnp.asarray(ref_int, jnp.uint8))
+    out = np.empty((B, l_query), np.uint8)
+    risky = np.empty(B, bool)
+    for lo in range(0, B, chunk):
+        hi = min(lo + chunk, B)
+        n = hi - lo
+        npad = chunk if n < chunk and B > chunk else n
+        posc = np.zeros(npad, np.int64)
+        posc[:n] = pos[lo:hi]
+        idx = jnp.asarray(posc)[:, None] + jnp.arange(l_ref)[None, :]
+        ref_win = ref_dev[jnp.clip(idx, 0, ref_dev.shape[0] - 1)]
+        sq = np.zeros((npad, l_query), np.uint8)
+        sq[:n] = seq4[lo:hi]
+        qq = np.zeros((npad, l_query), np.uint8)
+        qq[:n] = qual[lo:hi]
+        diag = jnp.zeros(npad, jnp.int32)  # pos - xb == 0
+        bq, good, rk = _probaln_batch(ref_win, jnp.asarray(sq),
+                                      jnp.asarray(qq), diag,
+                                      l_query, l_ref, bw)
+        applied = _finalize(bq, good, jnp.asarray(qq), l_query)
+        out[lo:hi] = np.asarray(applied)[:n]
+        risky[lo:hi] = np.asarray(rk)[:n]
+    return out, risky

@@ -27,15 +27,41 @@ def test_depth_reg(tmp_path):
     assert len(res.passed) >= 55
 
 
-# failures tracked in KNOWN_ISSUES.md: BAQ read-start numerics and
-# overlap-tweak orientation.  7 literal-.bam commands + the -E/-Q40
-# $fmt-swept commands under both bam and cram = 11 in the dual sweep.
-KNOWN_MPILEUP_FAILS = 11
+# Failures tracked in KNOWN_ISSUES.md, PINNED BY COMMAND so a new
+# regression cannot silently trade places with a fixed case.  Two root
+# causes: (1) htslib's rewritten probaln first-row numerics (-E recompute
+# only; stored-BQ paths match), (2) overlap-tweak winner selection for
+# two of the five overlapping pairs (no record/content-level
+# discriminator found; see KNOWN_ISSUES #2).
+KNOWN_MPILEUP_FAIL_CMDS = {
+    # (1) BAQ recompute first-row gap — -E sweeps under bam and cram
+    "mpileup -x -E -f mpileup.ref.fa mpileup.1.bam",
+    "mpileup -x -E -f mpileup.ref.fa mpileup.1.cram",
+    # (2) overlap-tweak winner — summed qual crosses the -Q40 gate
+    "mpileup -Q40 -r 17:1-4200 -f mpileup.ref.fa -a mpileup.1.bam",
+    "mpileup -Q40 -r 17:1-4200 -f mpileup.ref.fa -a mpileup.1.cram",
+    # (2) overlap-tweak winner — literal-.bam commands without -x
+    "mpileup --reverse-del mpileup.1.bam",
+    "mpileup --no-output-del mpileup.1.bam",
+    "mpileup --no-output-del --no-output-del mpileup.1.bam",
+    "mpileup --no-output-ins mpileup.1.bam",
+    "mpileup --no-output-ins --no-output-ins mpileup.1.bam",
+    "mpileup --no-output-del --no-output-del --no-output-ins "
+    "--no-output-ins mpileup.1.bam",
+    "mpileup --no-output-ends mpileup.1.bam",
+}
+
+
+def _normalize(cmd: str) -> str:
+    """Strip the interpreter prefix so pins are binary-independent."""
+    i = cmd.find("mpileup")
+    return cmd[i:].strip() if i >= 0 else cmd.strip()
 
 
 def test_mpileup_reg(tmp_path):
     res = run_reg(f"{MPILEUP_DIR}/mpileup.reg", str(tmp_path),
                   formats=("bam", "cram"))
+    failed = {_normalize(f[0]) for f in res.failed}
+    unexpected = failed - KNOWN_MPILEUP_FAIL_CMDS
+    assert not unexpected, f"NEW mpileup regressions: {sorted(unexpected)}"
     assert len(res.passed) >= 105, res.summary()
-    assert len(res.failed) <= KNOWN_MPILEUP_FAILS, "\n".join(
-        f[0] for f in res.failed)
