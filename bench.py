@@ -1,28 +1,37 @@
-"""Benchmark: the depth tool pipeline on a 30x coverage workload.
+"""Benchmark: the mpileup-core pipeline (BAQ on) on a 30x workload.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "detail"}.
 
-Workload: 8 Mbp contig at 30x coverage (2.5M 100bp reads, seeded
-simulator), written as a real BGZF BAM.  Two pipelines over the same
-file:
+Workload: 8 Mbp contig at 30x coverage (2.5M 100bp reads simulated
+against a seeded reference, 1% substitutions), written as a real BGZF
+BAM.  The measured tool is the heart of default `samtools mpileup`:
+per-read BAQ realignment (the banded glocal pair-HMM htslib runs at
+/root/reference/bam_plcmd.c:451 — the dominant cost of mpileup, and the
+reason `-B` exists) followed by the per-position base/qual census
+(:607's column loop, with mpileup's default min-BQ 13 gate).
 
-* baseline — the reference's architecture, measured: single-thread BGZF
-  inflate (libdeflate C++) + the literal add_depth hot loop
-  (/root/reference/bam2depth.c:209 semantics) in C++
-  (native/samtpu.cc samtpu_bench_depth).  samtools depth has no
-  multi-threaded compute (only codec threads), so a single-core C loop
-  IS the reference per-core rate; htslib is not in this image, so this
+* baseline — the reference's architecture, measured: BGZF inflate with
+  2 codec threads (samtools --threads only parallelizes the codec;
+  mpileup's compute loop is single-threaded by design) + the f64 BAQ
+  HMM + census in one single-core C++ loop (native
+  samtpu_bench_baq_census; bit-identical to ops/baq.py which matches
+  the samtools golden pileups).  htslib is not in this image, so this
   measured stand-in replaces an unbuildable samtools binary.
-* ours — the framework's depth path: threaded native inflate ->
-  required-fields columnar decode (C++) -> event build (numpy) ->
-  MXU-tiled segment-matmul depth kernel on the TPU
-  (ops/pileup_engine.depth_window_device).
+* ours — the framework's pipeline: streamed BGZF windows (bounded
+  memory) -> C++ columnar decode -> device banded pair-HMM BAQ batched
+  over reads (f32 + exact host fallback for rounding-boundary reads) ->
+  device one-hot census via the MXU segment-matmul engine, accumulated
+  on device; ONE census fetch at the end.
 
-vs_baseline = ours_bases_per_s / baseline_bases_per_s, end-to-end.
-detail carries the stage breakdown and the kernel-only (device-resident
-steady-state) rate, which is the per-chip number that scales to
-multi-core hosts (this box has 2 CPUs and a ~100 MB/s host<->device
-tunnel; production hosts feed chips over PCIe).
+Both pipelines produce the identical [window, 5] base-count table and
+per-position qual sums; the bench asserts exact equality, so the
+speedup is for byte-identical output.
+
+vs_baseline = ours_bases_per_s / baseline_bases_per_s, end-to-end with
+the input file prewarmed in the page cache for both.  One-time device
+/ transfer-tunnel warmup is reported separately as `warmup_s` (it is a
+per-process constant, not per-byte work; on this dev box the tunnelled
+d2h path takes ~2 min to first initialize).
 """
 
 from __future__ import annotations
@@ -36,153 +45,125 @@ import numpy as np
 REF_LEN = int(os.environ.get("SAMTPU_BENCH_MBP", "8")) << 20
 COVERAGE = 30.0
 READ_LEN = 100
-CACHE = f"/tmp/samtpu_bench_v2_{REF_LEN >> 20}m.bam"
+CACHE = f"/tmp/samtpu_bench_v3_{REF_LEN >> 20}m.bam"
+REF_CACHE = CACHE + ".ref.npy"
 
 
 def get_workload():
-    from samtools_tpu.sim import make_header, simulate_batch
+    from samtools_tpu.sim import (make_header, simulate_batch,
+                                  simulate_reference)
     from samtools_tpu.io.bam import write_bam
-    if not os.path.exists(CACHE):
+    if not (os.path.exists(CACHE) and os.path.exists(REF_CACHE)):
+        ref = simulate_reference(REF_LEN, seed=7)
         batch = simulate_batch(ref_len=REF_LEN, coverage=COVERAGE,
-                               read_len=READ_LEN, seed=42, paired=False)
+                               read_len=READ_LEN, seed=42, paired=False,
+                               err_rate=0.01, ref=ref)
         write_bam(CACHE + ".tmp", make_header(REF_LEN), batch, threads=2)
         os.replace(CACHE + ".tmp", CACHE)
-    return CACHE
+        np.save(REF_CACHE, ref)
+    ref = np.load(REF_CACHE)
+    # ACGT bytes -> 0-4 codes for the BAQ/census kernels
+    lut = np.full(256, 4, np.uint8)
+    for i, c in enumerate(b"ACGT"):
+        lut[c] = i
+    return CACHE, lut[ref]
 
 
-def run_baseline(path: str) -> dict:
-    """Single-core reference pipeline: 1-thread inflate + C add_depth."""
-    from samtools_tpu.io import bgzf, native
-    raw = open(path, "rb").read()
-    t0 = time.perf_counter()
-    coffs, bsizes, isizes = native.bgzf_scan(raw)
-    body_arr = native.bgzf_inflate(raw, coffs, bsizes, int(isizes.sum()), 1)
-    t1 = time.perf_counter()
-    from samtools_tpu.io.bam import decode_header
-    _, off = decode_header(body_arr)
-    depth, nrec = native.bench_depth(body_arr[off:], 0, REF_LEN)
-    t2 = time.perf_counter()
-    return {"inflate_s": t1 - t0, "depth_loop_s": t2 - t1,
-            "total_s": t2 - t0, "nrec": nrec,
-            "depth": depth, "checksum": int(depth.sum())}
-
-
-def run_ours(path: str) -> dict:
-    """Framework depth path, stage-timed; device compute run twice so the
-    steady-state (compile-cached) rate is reported."""
-    import samtools_tpu.core.flags as F
+def run_baseline(path: str, ref_int: np.ndarray) -> dict:
+    """Reference architecture: threaded codec + single-core BAQ census."""
     from samtools_tpu.io import native
     from samtools_tpu.io.bam import decode_header
-    from samtools_tpu.io.native import FIELD_CIGAR
-    from samtools_tpu.ops.pileup_engine import depth_window_device
-    from samtools_tpu.core.batch import ReadBatch
-
     raw = open(path, "rb").read()
     t0 = time.perf_counter()
     coffs, bsizes, isizes = native.bgzf_scan(raw)
-    arr = native.bgzf_inflate(raw, coffs, bsizes, int(isizes.sum()), 2)
+    body = native.bgzf_inflate(raw, coffs, bsizes, int(isizes.sum()), 2)
     t1 = time.perf_counter()
-    _, off = decode_header(arr)
-    offs = native.bam_record_offsets(arr, off)
-    cols = native.bam_decode_columns(arr, offs, 2, fields=FIELD_CIGAR)
-    b = ReadBatch(n=offs.size)
-    for k, v in cols.items():
-        setattr(b, k, v)
+    _, off = decode_header(body)
+    census, qsum, nrec = native.bench_baq_census(body[off:], 0, ref_int)
     t2 = time.perf_counter()
-    excl = F.FUNMAP | F.FSECONDARY | F.FQCFAIL | F.FDUP
-    sel = np.nonzero(((b.flag & excl) == 0) & (b.tid == 0))[0]
-    t3 = time.perf_counter()
-    depth = depth_window_device(b, sel, 0, REF_LEN, 0, False)
-    t4 = time.perf_counter()
-    depth = depth_window_device(b, sel, 0, REF_LEN, 0, False)  # steady
-    t5 = time.perf_counter()
-    return {"inflate_s": t1 - t0, "decode_s": t2 - t1,
-            "select_s": t3 - t2, "device_first_s": t4 - t3,
-            "device_s": t5 - t4,
-            "total_s": (t3 - t0) + (t5 - t4),
-            "nsel": int(sel.size), "checksum": int(depth.sum()),
-            "depth": depth}
+    return {"inflate_s": t1 - t0, "baq_census_s": t2 - t1,
+            "total_s": t2 - t0, "nrec": nrec,
+            "census": census, "qsum": qsum}
 
 
-def kernel_only_rate() -> float:
-    """Device-resident steady-state kernel rate (aligned bases/s) for the
-    30x events formulation — the per-chip compute ceiling."""
-    from samtools_tpu.ops import pileup_engine as pe
-    from samtools_tpu.ops import pileup_pallas as pp
-    import jax
-    rng = np.random.RandomState(0)
-    n_reads = int(REF_LEN * COVERAGE / READ_LEN)
-    pos = np.sort(rng.randint(0, REF_LEN - READ_LEN, n_reads)).astype(
-        np.int64)
-    ev = np.empty(2 * n_reads, np.int64)
-    ev[0::2] = pos
-    ev[1::2] = pos + READ_LEN
-    W = np.empty((2 * n_reads, 1), np.int8)
-    W[0::2] = 1
-    W[1::2] = -1
-    off = np.arange(0, 2 * n_reads + 1, 2, dtype=np.int64)
-    tile = pe.pick_tile(REF_LEN)
-    plan = pe.tile_plan(pos, pos + READ_LEN + 1, off, 0, REF_LEN, tile=tile)
-    n_tiles_pad = pe.padded_tiles(plan.n_tiles)
-    lo = np.zeros(n_tiles_pad, np.int32)
-    hi = np.zeros(n_tiles_pad, np.int32)
-    lo[:plan.n_tiles] = plan.lo
-    hi[:plan.n_tiles] = plan.hi
-    kb = pp.KB
-    _, _, B_pad, n_pad = pp._shapes(ev, lo, hi, plan.B, kb)
-    rp = pp._pad_rows(ev.astype(np.int32), n_pad, np.iinfo(np.int32).min)
-    rp3 = jax.device_put(rp.reshape(-1, 1, kb))
-    pack_w, _ = pp._packer(kb)
-    w3 = pack_w(pp._pad_rows(np.ascontiguousarray(W, np.int8), n_pad))
-    w3.block_until_ready()
-    interpret = jax.devices()[0].platform != "tpu"
+def run_ours(path: str, ref_int: np.ndarray) -> dict:
+    """Framework pipeline: streamed decode -> device BAQ -> device census."""
+    from samtools_tpu.io.stream import BamStream
+    from samtools_tpu.io.native import FIELD_CIGAR, FIELD_SEQ, FIELD_QUAL
+    from samtools_tpu.ops.mpileup_device import DeviceCensusPipeline
 
-    def run():
-        return pp._run(rp3, w3, lo, hi, 0, n_tiles_pad, B_pad // kb,
-                       interpret, tile, kb)
-    np.asarray(run()[:8])
     t0 = time.perf_counter()
-    iters = 5
-    for _ in range(iters):
-        np.asarray(run()[:8])
-    dt = (time.perf_counter() - t0) / iters
-    return n_reads * READ_LEN / dt
+    pipe = DeviceCensusPipeline(ref_int, REF_LEN)
+    decode_s = 0.0
+    with BamStream(path, threads=2, window_bytes=64 << 20) as st:
+        td = time.perf_counter()
+        for batch in st.batches(fields=FIELD_CIGAR | FIELD_SEQ | FIELD_QUAL):
+            decode_s += time.perf_counter() - td
+            pipe.add_batch(batch)
+            td = time.perf_counter()
+        decode_s += time.perf_counter() - td
+    t1 = time.perf_counter()
+    census, qsum = pipe.finish()
+    t2 = time.perf_counter()
+    return {"stream_device_s": t1 - t0, "fetch_s": t2 - t1,
+            "total_s": t2 - t0, "decode_s": decode_s,
+            "nrec": pipe.n_reads, "host_reads": pipe.n_host_reads,
+            "risky_reads": pipe.n_risky,
+            "census": census, "qsum": qsum}
+
+
+def warmup(ref_int: np.ndarray) -> float:
+    """Compile the kernels and initialize the host<->device transfer
+    path on a tiny slice; returns seconds spent (reported, not hidden)."""
+    from samtools_tpu.ops.mpileup_device import DeviceCensusPipeline
+    from samtools_tpu.core.batch import ReadBatch
+    from samtools_tpu.sim import simulate_batch
+    t0 = time.perf_counter()
+    wlen = 1 << 18
+    small = simulate_batch(ref_len=wlen, coverage=COVERAGE,
+                           read_len=READ_LEN, seed=1, paired=False,
+                           ref=None)
+    pipe = DeviceCensusPipeline(ref_int[:wlen], wlen)
+    pipe.add_batch(small)
+    pipe.finish()
+    del ReadBatch
+    return time.perf_counter() - t0
 
 
 def main() -> int:
-    import jax  # noqa: F401  (device availability up front)
-    path = get_workload()
-    ours = run_ours(path)
-    base = run_baseline(path)
-    assert ours["checksum"] == base["checksum"], (
-        "depth mismatch vs baseline", ours["checksum"], base["checksum"])
-    assert np.array_equal(np.asarray(ours.pop("depth"), np.int64),
-                          base.pop("depth").astype(np.int64))
+    path, ref_int = get_workload()
+    # prewarm the page cache for both pipelines
+    with open(path, "rb") as f:
+        while f.read(1 << 24):
+            pass
+    warm_s = warmup(ref_int)
+    ours = run_ours(path, ref_int)
+    base = run_baseline(path, ref_int)
+    assert ours["nrec"] == base["nrec"], (ours["nrec"], base["nrec"])
+    assert np.array_equal(ours.pop("census"), base.pop("census")), \
+        "census mismatch vs reference pipeline"
+    assert np.array_equal(ours.pop("qsum"), base.pop("qsum")), \
+        "qual-sum mismatch vs reference pipeline"
     n_bases = base["nrec"] * READ_LEN
     ours_rate = n_bases / ours["total_s"]
     base_rate = n_bases / base["total_s"]
-    try:
-        kern = kernel_only_rate()
-    except Exception:
-        kern = 0.0
     import jax
     out = {
-        "metric": "depth_30x_aligned_bases_per_s",
+        "metric": "mpileup_baq_30x_aligned_bases_per_s",
         "value": int(ours_rate),
         "unit": "bases/s",
         "vs_baseline": round(ours_rate / base_rate, 2),
         "detail": {
             "workload": f"{REF_LEN >> 20}Mbp x {COVERAGE}x, "
-                        f"{base['nrec']} reads",
+                        f"{base['nrec']} reads, BAQ on, minBQ 13",
+            "parity": "census + qual sums byte-identical (asserted)",
+            "warmup_s": round(warm_s, 2),
             "ours_s": {k: round(v, 3) for k, v in ours.items()
                        if k.endswith("_s")},
+            "ours_host_fallback_reads": ours["host_reads"],
             "baseline_s": {k: round(v, 3) for k, v in base.items()
                            if k.endswith("_s")},
             "baseline_bases_per_s": int(base_rate),
-            "kernel_only_bases_per_s": int(kern),
-            "kernel_vs_baseline_core": round(
-                kern / (n_bases / base["depth_loop_s"]), 2)
-            if base["depth_loop_s"] > 0 and kern else None,
             "device": str(jax.devices()[0]),
         },
     }

@@ -436,6 +436,112 @@ def depth_window_device(batch, sel: np.ndarray, wbeg: int, wend: int,
     return _fetch_narrow(depth, int(dmax), L)
 
 
+# ------------------------------------------------------- coverage kernel
+_COV_REDUCE = None
+
+
+def _cov_reduce_jit():
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("sub", "min_depth"))
+    def f(census, sub: int, min_depth: int):
+        """census [rows, 3] (okq count, okq qual sum, entry count) ->
+        [rows//sub, 3] per-subwindow sums over pos_ok positions
+        (coverage.c:589's covered/meandepth/meanbaseq accumulators)."""
+        c0 = census[:, 0]
+        c2 = census[:, 2]
+        ok = (c2 > 0) & (c0 > 0) & (c0 >= min_depth)
+        gated = jnp.where(ok[:, None], census, 0)
+        gated = gated.at[:, 2].set(ok.astype(jnp.int32))
+        return gated.reshape(-1, sub, 3).sum(axis=1)
+
+    return f
+
+
+def _coverage_census_part(batch, sel: np.ndarray, wbeg: int, wend: int,
+                          min_baseq: int):
+    """One file's [window, 3] coverage census on device (okq count,
+    okq qual sum, entry count incl. del/refskip)."""
+    from ..core import flags as F
+    from ..core.batch import ragged_gather_indices
+    from .cigar import expand_ops
+
+    L = wend - wbeg
+    sb = batch.take(np.asarray(sel, np.int64), ragged=("cigar", "qual"))
+    t = expand_ops(sb)
+    emit = np.isin(t.op, (F.CMATCH, F.CEQUAL, F.CDIFF, F.CDEL,
+                          F.CREF_SKIP))
+    e_ops = np.nonzero(emit)[0]
+    e_len = t.oplen[e_ops]
+    pos = ragged_gather_indices(t.rpos[e_ops], e_len)
+    is_m = np.isin(t.op[e_ops], (F.CMATCH, F.CEQUAL, F.CDIFF))
+    is_m_e = np.repeat(is_m, e_len)
+    rid = np.repeat(t.rid[e_ops], e_len)
+    qpos = ragged_gather_indices(t.qpos[e_ops], e_len)
+    W = np.zeros((pos.size, 3), np.int8)
+    W[:, 2] = 1
+    qm = sb.qual[sb.seq_off[rid[is_m_e]] + qpos[is_m_e]]
+    okq = qm >= min_baseq
+    W[is_m_e, 0] = okq
+    W[is_m_e, 1] = np.where(okq, np.minimum(qm, 127), 0).astype(np.int8)
+    inw = (pos >= wbeg) & (pos < wend)
+    W[~inw] = 0
+    per_read = np.bincount(t.rid[e_ops], weights=e_len,
+                           minlength=sb.n).astype(np.int64)
+    off = np.zeros(sb.n + 1, np.int64)
+    np.cumsum(per_read, out=off[1:])
+    plan = tile_plan(np.minimum(np.maximum(sb.pos, wbeg), wend),
+                     np.minimum(np.maximum(sb.end_pos(), wbeg), wend) + 1,
+                     off, wbeg, L)
+    return segment_matmul(np.clip(pos, wbeg, wend - 1), W, plan)
+
+
+def coverage_window_device(parts, wbeg: int, wend: int, min_baseq: int,
+                           min_depth: int, sub: int = 1 << 16
+                           ) -> np.ndarray:
+    """Device coverage statistics for one window across input files:
+    returns int64 (n_cov_bases, summed_cov, summed_baseq) — the
+    per-position accumulators of coverage.c:589, summed across files on
+    device and gated by min_depth at full resolution, then reduced in
+    64k-position subwindows so only O(window/64k) scalars cross the
+    link.  Integer accumulation in int32 is bit-exact vs the host path.
+
+    parts: iterable of (batch, sel) pairs (one per input file).
+    """
+    global _COV_REDUCE
+    import jax.numpy as jnp
+    out = None
+    for batch, sel in parts:
+        if sel.size == 0:
+            continue
+        part = _coverage_census_part(batch, sel, wbeg, wend, min_baseq)
+        out = part if out is None else _pad_to_match(out, part)
+    if out is None:
+        return np.zeros(3, np.int64)
+    if _COV_REDUCE is None:
+        _COV_REDUCE = _cov_reduce_jit()
+    rows = out.shape[0]
+    if rows % sub:
+        out = jnp.pad(out, ((0, sub - rows % sub), (0, 0)))
+    red = np.asarray(_COV_REDUCE(out, sub, min_depth)).astype(np.int64)
+    tot = red.sum(axis=0)
+    # red columns: [0] okq-count over ok positions -> summed_cov,
+    # [1] qual sums -> summed_baseq, [2] pos_ok indicator -> covbases
+    return np.array([tot[2], tot[0], tot[1]], np.int64)
+
+
+def _pad_to_match(a, b):
+    import jax.numpy as jnp
+    h = max(a.shape[0], b.shape[0])
+    if a.shape[0] < h:
+        a = jnp.pad(a, ((0, h - a.shape[0]), (0, 0)))
+    if b.shape[0] < h:
+        b = jnp.pad(b, ((0, h - b.shape[0]), (0, 0)))
+    return a + b
+
+
 # -------------------------------------------------------- base-lane census
 def base_lane_weights(lane: np.ndarray, qual: np.ndarray | None = None,
                       min_qual: int = 0) -> np.ndarray:

@@ -15,7 +15,24 @@ import numpy as np
 
 from ..core import flags as F
 from ..io.files import read_alignments
-from ..ops.pileup import build_pileup
+
+
+def _mspan_depth(b, sel: np.ndarray, lo: int, hi: int) -> np.ndarray:
+    """int64[hi-lo] qual-ungated M/=/X depth via diff events (the numpy
+    twin of ops.pileup_engine.depth_window_device with min_qual=0)."""
+    L = hi - lo
+    d = np.zeros(L + 1, np.int64)
+    if sel.size == 0:
+        return d[:L]
+    from ..ops.cigar import expand_ops
+    sub = b.take(np.asarray(sel, np.int64), ragged=("cigar",))
+    t = expand_ops(sub)
+    m = np.isin(t.op, (F.CMATCH, F.CEQUAL, F.CDIFF))
+    rs = np.clip(t.rpos[m] - lo, 0, L)
+    re = np.clip(t.rpos[m] + t.oplen[m] - lo, 0, L)
+    np.add.at(d, rs, 1)
+    np.add.at(d, re, -1)
+    return np.cumsum(d)[:L]
 from .common import (GlobalArgs, UsageError, gnu_getopt, handle_global_opt,
                      print_error, print_error_errno)
 from .flags_cmd import str2flag
@@ -118,21 +135,77 @@ def main_bedcov(argv: list[str]) -> int:
             return 2
     header = files[0].header
 
-    # per-file filtered pileups per contig, cached
+    # Per-contig depth state, all files at once.  The pileup-entry count
+    # per position decomposes into two interval-depth columns (a read's
+    # M/D/N footprint is the contiguous [pos, end) span; its "real"
+    # entries are the M/=/X op spans), so the per-region sums are prefix
+    # gathers — no pileup table at all.  The M-span column is the depth
+    # kernel: device (ops.pileup_engine.depth_window_device) when the
+    # workload clears the use_device gate, numpy diff+cumsum otherwise.
     states: dict = {}
 
-    def get_pileup(fi: int, tid: int):
-        key = (fi, tid)
-        if key in states:
-            return states[key]
-        b = files[fi].batch
-        fl = b.flag.astype(np.int64)
-        sel = np.nonzero((b.tid == tid) & ((fl & flags) == 0)
-                         & (b.mapq.astype(np.int64) >= min_mapq))[0]
-        sub = b.take(sel)
-        p = build_pileup(sub)
-        states[key] = (sub, p)
-        return states[key]
+    def get_state(tid: int):
+        if tid in states:
+            return states[tid]
+        from ..engine import use_device
+        per_file = []
+        lo, hi = None, None
+        sels = []
+        for fi in range(len(files)):
+            b = files[fi].batch
+            fl = b.flag.astype(np.int64)
+            sel = np.nonzero((b.tid == tid) & ((fl & flags) == 0)
+                             & (b.mapq.astype(np.int64) >= min_mapq))[0]
+            sels.append(sel)
+            if sel.size:
+                e = b.end_pos()
+                l0 = int(b.pos[sel].min())
+                h0 = int(e[sel].max())
+                lo = l0 if lo is None else min(lo, l0)
+                hi = h0 if hi is None else max(hi, h0)
+        if lo is None:
+            states[tid] = None
+            return None
+        L = hi - lo
+        n_bases = sum(int((files[fi].batch.seq_off[s + 1]
+                           - files[fi].batch.seq_off[s]).sum())
+                      for fi, s in enumerate(sels))
+        dev = use_device(n_bases) and L < (1 << 31)
+        vis = np.zeros(L + 1, bool)
+        for fi, sel in enumerate(sels):
+            b = files[fi].batch
+            if dev and sel.size:
+                from ..ops.pileup_engine import depth_window_device
+                d_real = depth_window_device(b, sel, lo, hi, 0,
+                                             False).astype(np.int64)
+            else:
+                d_real = _mspan_depth(b, sel, lo, hi)
+            # full-footprint (M/D/N) interval depth: 2 events per read
+            d_incl = np.zeros(L + 1, np.int64)
+            if sel.size:
+                e = b.end_pos()
+                np.add.at(d_incl, b.pos[sel] - lo, 1)
+                np.add.at(d_incl, e[sel] - lo, -1)
+            d_incl = np.cumsum(d_incl)[:L]
+            vis[:L] |= d_incl > 0
+            per_file.append((d_incl, d_real))
+        state = []
+        for fi, (d_incl, d_real) in enumerate(per_file):
+            S2i = np.concatenate([[0], np.cumsum(d_incl)])
+            S2r = np.concatenate([[0], np.cumsum(d_real)])
+            if min_depth >= 0:
+                ind = vis[:L] & (d_real >= min_depth)
+                Sind = np.concatenate([[0], np.cumsum(ind)])
+            else:
+                Sind = None
+            b = files[fi].batch
+            sel = sels[fi]
+            rpos = b.pos[sel]
+            rend = b.end_pos()[sel]
+            order = np.argsort(rpos, kind="stable")
+            state.append((S2i, S2r, Sind, rpos[order], rend[order]))
+        states[tid] = (lo, hi, state)
+        return states[tid]
 
     status = 0
     hdr_done = not print_header
@@ -184,29 +257,29 @@ def main_bedcov(argv: list[str]) -> int:
         cols = []
         depth_cols = []
         count_cols = []
-        L = max(end - beg, 1)
-        visited = np.zeros(L, bool)
-        pd_real = []
+        st = get_state(tid)
         for fi in range(len(files)):
-            sub, p = get_pileup(fi, tid)
-            inreg = (p.pos >= beg) & (p.pos < end)
-            real = inreg & ~(p.is_del | p.is_refskip)
-            cols.append(int(real.sum()) if skip_dn else int(inreg.sum()))
+            if st is None:
+                cols.append(0)
+                if min_depth >= 0:
+                    depth_cols.append(0)
+                if do_rcount:
+                    count_cols.append(0)
+                continue
+            lo, hi, per_file = st
+            S2i, S2r, Sind, rpos, rend = per_file[fi]
+            a = min(max(beg - lo, 0), hi - lo)
+            z = min(max(end - lo, 0), hi - lo)
+            S = S2r if skip_dn else S2i
+            cols.append(int(S[z] - S[a]))
             if min_depth >= 0:
-                visited |= np.bincount((p.pos[inreg] - beg)
-                                       .astype(np.int64),
-                                       minlength=L) > 0
-                pd_real.append(np.bincount((p.pos[real] - beg)
-                                           .astype(np.int64), minlength=L))
+                depth_cols.append(int(Sind[z] - Sind[a]))
             if do_rcount:
-                endp = sub.end_pos()
-                count_cols.append(int(((sub.pos < end)
-                                       & (endp > beg)).sum()))
-        if min_depth >= 0:
-            # only positions the pileup visits (>=1 entry in any file)
-            for pd in pd_real:
-                depth_cols.append(int((visited
-                                       & (pd >= min_depth)).sum()))
+                # reads overlapping [beg, end): pos < end minus those
+                # ending at/before beg (rend unsorted -> count directly
+                # on the pos-sorted prefix)
+                k = int(np.searchsorted(rpos, end, side="left"))
+                count_cols.append(int((rend[:k] > beg).sum()))
         row = line
         for v in cols:
             row += "\t%d" % v

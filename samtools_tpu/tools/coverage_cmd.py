@@ -214,12 +214,61 @@ def main_coverage(argv: list[str]) -> int:
     if region is not None:
         tids = [region.tid] if region.tid in tids else []
 
+    from ..engine import use_device
+
     hist_blocks = []
     for t in (tids if tids else ([] if region is None else [region.tid])):
         beg = region.beg if region else 0
         end = min(region.end, header.ref_lens[t]) if region \
             else header.ref_lens[t]
         covered[t] = True
+        if not histogram:
+            # device fast path: per-position census + min-depth gate +
+            # subwindow reduction all on the TPU (pileup_engine
+            # .coverage_window_device); only scalars come back
+            parts = []
+            n_bases = 0
+            for f, keep in zip(files, selected):
+                b = f.batch
+                sel = np.nonzero(keep & (b.tid == t))[0]
+                if region is not None and sel.size:
+                    endp = b.end_pos()
+                    sel = sel[(b.pos[sel] < end) & (endp[sel] > beg)]
+                parts.append((b, sel))
+                if sel.size:
+                    n_bases += int((b.seq_off[sel + 1]
+                                    - b.seq_off[sel]).sum())
+            if use_device(n_bases):
+                from ..ops.pileup_engine import coverage_window_device
+                win = 16 << 20
+                acc = np.zeros(3, np.int64)
+                # clip the scan to the data extent: positions outside
+                # [first read, last read end] contribute nothing
+                dlo, dhi = end, beg
+                for b, sel in parts:
+                    if sel.size:
+                        dlo = min(dlo, int(b.pos[sel].min()))
+                        dhi = max(dhi, int(b.end_pos()[sel].max()))
+                dlo = max(beg, dlo)
+                dhi = min(end, dhi)
+                for wb in range(dlo, dhi, win):
+                    we = min(wb + win, dhi)
+                    wparts = []
+                    for b, sel in parts:
+                        if sel.size:
+                            endp = b.end_pos()
+                            ws = sel[(b.pos[sel] < we)
+                                     & (endp[sel] > wb)]
+                        else:
+                            ws = sel
+                        wparts.append((b, ws))
+                    acc += coverage_window_device(
+                        wparts, wb, we, min_baseq, min_depth)
+                n_cov_bases[t] = acc[0]
+                summed_cov[t] = acc[1]
+                summed_baseq[t] = acc[2]
+                quality_bases[t] = acc[1]
+                continue
         L = max(end - beg, 1)
         depth = np.zeros(L, np.int64)
         visited = np.zeros(L, bool)

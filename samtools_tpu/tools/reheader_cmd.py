@@ -4,6 +4,12 @@ Byte-parity target: /root/reference/bam_reheader.c: new header (from a
 SAM file or from a -c command transforming the existing header) + the
 original records, with a samtools @PG appended unless -P/--no-PG.
 BAM in-place is rejected as in the reference; CRAM is unsupported here.
+
+BAM output is a raw BGZF splice (bam_reheader.c:49's architecture): the
+new header is deflated into fresh blocks, the tail of the block the old
+header ends inside is re-deflated, and every following compressed block
+is copied byte-for-byte — the records are never decoded, so reheader
+runs at I/O speed and the record bytes cannot drift.
 """
 
 from __future__ import annotations
@@ -16,6 +22,68 @@ from ..io.files import read_alignments, write_alignments
 from ..io.header import SamHeader
 from .common import (UsageError, gnu_getopt, print_error,
                      print_error_errno)
+
+
+class _LazyBam:
+    """Header-only view of a BGZF BAM (records untouched)."""
+
+    def __init__(self, path: str, header):
+        self.header = header
+        self._splice_path = path
+
+
+def _open_lazy(path: str):
+    """Open for reheader: BGZF BAMs get a header-only handle (the
+    record bytes will be raw-spliced); everything else falls back to
+    the generic reader."""
+    try:
+        from ..io.stream import BamStream
+        st = BamStream(path)
+        try:
+            return _LazyBam(path, st.header)
+        finally:
+            st.close()
+    except Exception:
+        return read_alignments(path)
+
+
+def _splice_bam(bam_path: str, new_header, out) -> bool:
+    """Write new header + raw-copied record blocks; False if the input
+    is not a BGZF BAM (caller falls back to decode/re-encode)."""
+    import numpy as np
+    from ..io import bgzf
+    from ..io.bam import encode_header
+    from ..io.stream import BamStream
+    try:
+        st = BamStream(bam_path, threads=2)
+    except Exception:
+        return False
+    try:
+        voff = st._hdr_voffset
+        cpos, uoff = voff >> 16, voff & 0xFFFF
+        out.write(bgzf.compress(encode_header(new_header), level=6,
+                                append_eof=False))
+        if uoff:
+            # the first record shares a block with the old header: that
+            # block's tail must be re-deflated from the record offset
+            w = st._inflate_span(cpos, 1 << 16)
+            end0 = int(w.uoffs[1]) if w.uoffs.size > 1 else w.data.size
+            blk = w.data[uoff:end0]
+            if blk.size:
+                out.write(bgzf.compress(np.asarray(blk).tobytes(),
+                                        level=6, append_eof=False))
+            cpos += int(w.bsizes[0])
+        # raw copy of every remaining compressed block (incl. EOF block)
+        with open(bam_path, "rb") as f:
+            f.seek(cpos)
+            while True:
+                chunk = f.read(1 << 24)
+                if not chunk:
+                    break
+                out.write(chunk)
+    finally:
+        st.close()
+    return True
 
 
 def usage(fp):
@@ -61,7 +129,7 @@ def main_reheader(argv: list[str]) -> int:
     if external:
         bam_path = args[0]
         try:
-            f = read_alignments(bam_path)
+            f = _open_lazy(bam_path)
         except OSError as e:
             print_error_errno("reheader", "fail to open file '%s'",
                               bam_path, exc=e)
@@ -86,7 +154,7 @@ def main_reheader(argv: list[str]) -> int:
             return 1
         new_header = hf.header
         try:
-            f = read_alignments(bam_path)
+            f = _open_lazy(bam_path)
         except OSError as e:
             print_error_errno("reheader", "fail to open file '%s'",
                               bam_path, exc=e)
@@ -103,11 +171,19 @@ def main_reheader(argv: list[str]) -> int:
             "samtools reheader " + " ".join(argv),
             SAMTOOLS_PARITY_VERSION)
 
+    if getattr(f, "_splice_path", None) is not None:
+        if not new_header.ref_names:
+            new_header.ref_names = f.header.ref_names
+            new_header.ref_lens = f.header.ref_lens
+        if _splice_bam(f._splice_path, new_header, sys.stdout.buffer):
+            return 0
+        f = read_alignments(f._splice_path)  # fallback: full decode
+
     # records keep their original tids; the new header must supply
     # compatible @SQ lines (no validity checks, as in the reference)
-    b = f.batch
     if not new_header.ref_names:
         new_header.ref_names = f.header.ref_names
         new_header.ref_lens = f.header.ref_lens
-    write_alignments(None, new_header, b, fmt="bam", include_header=True)
+    write_alignments(None, new_header, f.batch, fmt="bam",
+                     include_header=True)
     return 0
