@@ -106,6 +106,10 @@ def main(argv: list[str] | None = None) -> int:
     if not argv:
         usage(sys.stderr)
         return 1
+    import os
+    if os.environ.get("SAMTPU_DIST_COORD"):
+        from .parallel.dist import maybe_init_distributed
+        maybe_init_distributed()
     cmd = argv[0]
     if cmd in ("help", "--help"):
         if len(argv) > 1 and argv[1] in COMMANDS:

@@ -100,6 +100,24 @@ def _emit(out, name: str, pos1: np.ndarray, cols: list[np.ndarray]):
     out.write(prefix + ("\n" + prefix).join(body.tolist()) + "\n")
 
 
+def _n_shards() -> int:
+    """Region shards for sharded execution: SAMTPU_SHARDS=N (or 'all'
+    for every attached device); default 1 (single-device kernels)."""
+    import os
+    v = os.environ.get("SAMTPU_SHARDS", "1")
+    if v == "all":
+        import jax
+        return len(jax.devices())
+    try:
+        n = int(v)
+    except ValueError:
+        return 1
+    if n > 1:
+        import jax
+        n = min(n, len(jax.devices()))
+    return max(n, 1)
+
+
 def main_depth(argv: list[str]) -> int:
     ga = GlobalArgs()
     excl = DEFAULT_EXCL
@@ -313,8 +331,22 @@ def main_depth(argv: list[str]) -> int:
         for f, s, cl, end in zip(files, subsels, clips, ends):
             # device dispatch: aligned bases is the work-size proxy
             if engine.use_device(int(f.batch.l_qseq[s].sum())):
-                from ..ops.pileup_engine import depth_window_device
-                depth_fn = depth_window_device
+                n_shards = _n_shards()
+                if n_shards > 1:
+                    # region-sharded execution over the device mesh
+                    # (the CLI face of parallel/mesh.py's span-block
+                    # generalization of bam_consensus.c:2626)
+                    from ..parallel.mesh import (depth_window_sharded,
+                                                 make_mesh)
+                    mesh = make_mesh(n_data=1, n_region=n_shards)
+
+                    def depth_fn(b, s2, wb, we, mq, cd, cl2,
+                                 _m=mesh):
+                        return depth_window_sharded(_m, b, s2, wb, we,
+                                                    mq, cd, cl2)
+                else:
+                    from ..ops.pileup_engine import depth_window_device
+                    depth_fn = depth_window_device
             else:
                 depth_fn = dops.depth_window
             cols.append(depth_fn(f.batch, s, wbeg, wend,
