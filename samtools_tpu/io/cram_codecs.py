@@ -224,6 +224,164 @@ def rans4x8_uncompress(data: bytes) -> bytes:
 # ----------------------------------------------------------------------
 # rANS Nx16 (CRAM 3.1)
 
+def _norm_freqs(counts: np.ndarray, tot: int) -> np.ndarray:
+    """Normalize symbol counts to sum exactly ``tot`` with every present
+    symbol >= 1 (any such table is decodable by every rANS reader)."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(256, np.uint32)
+    F = np.maximum((counts.astype(np.float64) * tot / total + 0.5)
+                   .astype(np.int64), np.where(counts > 0, 1, 0))
+    drift = int(F.sum()) - tot
+    # push the drift onto the most frequent symbol (stays >= 1)
+    big = int(np.argmax(F))
+    F[big] -= drift
+    if F[big] <= 0:  # pathological skew: rebalance greedily
+        F[big] += drift
+        order = np.argsort(-F)
+        k = 0
+        while drift != 0:
+            s = order[k % len(order)]
+            if drift > 0 and F[s] > 1:
+                F[s] -= 1
+                drift -= 1
+            elif drift < 0 and F[s] > 0:
+                F[s] += 1
+                drift += 1
+            k += 1
+    return F.astype(np.uint32)
+
+
+def _write_freqs_4x8(F: np.ndarray) -> bytes:
+    """Serialize an order-0 table in the ascending-symbol RLE format
+    (mirror of _read_freqs_4x8)."""
+    out = bytearray()
+    syms = np.nonzero(F)[0]
+    rle = 0
+    for idx, s in enumerate(syms):
+        if rle > 0:
+            rle -= 1
+        else:
+            out.append(int(s))
+            if idx > 0 and s == syms[idx - 1] + 1:
+                # run of consecutive symbols: count the run length
+                run = 0
+                while (idx + run + 1 < syms.size
+                       and syms[idx + run + 1] == s + run + 1):
+                    run += 1
+                out.append(run)
+                rle = run
+        f = int(F[s])
+        if f < 128:
+            out.append(f)
+        else:
+            out.append(0x80 | (f >> 8))
+            out.append(f & 0xFF)
+    out.append(0)
+    return bytes(out)
+
+
+def _enc_put(x: int, f: int, start: int, emitted: bytearray) -> int:
+    """One reverse-order rANS encode step (rans_byte PutSymbol)."""
+    x_max = ((_RANS_BYTE_L >> _TF_SHIFT) << 8) * f
+    while x >= x_max:
+        emitted.append(x & 0xFF)
+        x >>= 8
+    return ((x // f) << _TF_SHIFT) + (x % f) + start
+
+
+def rans4x8_compress(data: bytes, order: int = 0) -> bytes:
+    """rANS 4x8 encoder (CRAM 3.0 codec 4), mirror of
+    rans4x8_uncompress.  Returns the full block (header + tables +
+    interleaved payload)."""
+    n = len(data)
+    if n == 0 or n >= (1 << 30):
+        raise CramCodecError("rans4x8: unsupported input size")
+    arr = np.frombuffer(data, np.uint8)
+    if order == 0:
+        F = _norm_freqs(np.bincount(arr, minlength=256), _TOTFREQ)
+        C = np.zeros(257, np.uint64)
+        np.cumsum(F, out=C[1:])
+        tab = _write_freqs_4x8(F)
+        Fi = F.astype(np.int64)
+        Ci = C.astype(np.int64)
+        R = [_RANS_BYTE_L] * 4
+        emitted = bytearray()
+        for k in range(n - 1, -1, -1):
+            s = int(arr[k])
+            R[k & 3] = _enc_put(R[k & 3], int(Fi[s]), int(Ci[s]), emitted)
+        states = b"".join(int(R[j]).to_bytes(4, "little")
+                          for j in range(4))
+        payload = states + bytes(emitted[::-1])
+        body = tab + payload
+    elif order == 1:
+        # per-context tables: context = previous byte within each of the
+        # four interleaved sub-streams (first byte of each: context 0)
+        isz4 = n >> 2
+        if isz4 < 4:
+            return rans4x8_compress(data, order=0)
+        starts = [0, isz4, 2 * isz4, 3 * isz4]
+        counts = np.zeros((256, 256), np.int64)
+        prev = np.concatenate([[0], arr[:-1]]).astype(np.int64)
+        for j in range(4):
+            lo = starts[j]
+            hi = starts[j + 1] if j < 3 else n
+            p = np.concatenate([[0], arr[lo:hi - 1]]).astype(np.int64)
+            np.add.at(counts, (p, arr[lo:hi].astype(np.int64)), 1)
+        del prev
+        ctxs = np.nonzero(counts.sum(1))[0]
+        Fs = {}
+        Cs = {}
+        tab = bytearray()
+        rle = 0
+        for idx, c in enumerate(ctxs):
+            if rle > 0:
+                rle -= 1
+            else:
+                tab.append(int(c))
+                if idx > 0 and c == ctxs[idx - 1] + 1:
+                    run = 0
+                    while (idx + run + 1 < ctxs.size
+                           and ctxs[idx + run + 1] == c + run + 1):
+                        run += 1
+                    tab.append(run)
+                    rle = run
+            F = _norm_freqs(counts[c].astype(np.uint32), _TOTFREQ)
+            Cc = np.zeros(257, np.int64)
+            np.cumsum(F, out=Cc[1:])
+            Fs[int(c)] = F.astype(np.int64)
+            Cs[int(c)] = Cc
+            tab += _write_freqs_4x8(F)
+        tab.append(0)
+        # encode each sub-stream in reverse; stream 3 also covers the
+        # remainder bytes (decoded last-state-first semantics)
+        R = [_RANS_BYTE_L] * 4
+        emitted = bytearray()
+        # remainder (k >= 4*isz4) belongs to stream 3, contexts chain on
+        rem = list(range(4 * isz4, n))
+        for k in reversed(rem):
+            l = int(arr[k - 1]) if k > 4 * isz4 else int(arr[4 * isz4 - 1])
+            s = int(arr[k])
+            R[3] = _enc_put(R[3], int(Fs[l][s]), int(Cs[l][s]), emitted)
+        for i2 in range(isz4 - 1, -1, -1):
+            for j in (3, 2, 1, 0):
+                lo = starts[j]
+                k = lo + i2
+                l = int(arr[k - 1]) if i2 > 0 else 0
+                s = int(arr[k])
+                R[j] = _enc_put(R[j], int(Fs[l][s]), int(Cs[l][s]),
+                                emitted)
+        states = b"".join(int(R[j]).to_bytes(4, "little")
+                          for j in range(4))
+        body = bytes(tab) + states + bytes(emitted[::-1])
+    else:
+        raise CramCodecError("rans4x8: bad order %d" % order)
+    # header: order, payload size after the 9-byte prefix, raw size
+    hdr = bytes([order]) + len(body).to_bytes(4, "little") \
+        + n.to_bytes(4, "little")
+    return hdr + body
+
+
 def _read_alphabet(data: bytes, i: int):
     """Ascending symbol list with run shortcuts, 0-terminated."""
     syms = []

@@ -90,15 +90,33 @@ def _enc_byte_array_stop(stop: int, cid: int) -> bytes:
     return itf8_enc(5) + itf8_enc(len(params)) + params
 
 
+def _gzip_member(payload: bytes) -> bytes:
+    deflated = zlib.compress(payload, 6)[2:-4]
+    return (b"\x1f\x8b\x08\x00\x00\x00\x00\x00\x00\xff"
+            + deflated
+            + struct.pack("<II", zlib.crc32(payload) & 0xFFFFFFFF,
+                          len(payload) & 0xFFFFFFFF))
+
+
 def encode_block(method: int, ctype: int, content_id: int,
                  payload: bytes) -> bytes:
+    """method: 0 raw, 1 gzip, 4 rANS 4x8, -1 = pick the smallest of
+    {gzip, rans-o0, rans-o1} (the htslib method-trial behavior for
+    external data series, cram_io.c cram_compress_block)."""
     usize = len(payload)
-    if method == 1:  # gzip member: header + raw deflate + crc + isize
-        deflated = zlib.compress(payload, 6)[2:-4]
-        comp = (b"\x1f\x8b\x08\x00\x00\x00\x00\x00\x00\xff"
-                + deflated
-                + struct.pack("<II", zlib.crc32(payload) & 0xFFFFFFFF,
-                              usize & 0xFFFFFFFF))
+    if method == -1:
+        cands = [(1, _gzip_member(payload))]
+        if 0 < usize < (1 << 30):
+            from .cram_codecs import rans4x8_compress
+            try:
+                cands.append((4, rans4x8_compress(payload, 0)))
+                if usize >= 1024:
+                    cands.append((4, rans4x8_compress(payload, 1)))
+            except Exception:
+                pass
+        method, comp = min(cands, key=lambda mc: len(mc[1]))
+    elif method == 1:
+        comp = _gzip_member(payload)
     else:
         comp = payload
     out = bytes([method, ctype]) + itf8_enc(content_id) + \
@@ -290,7 +308,7 @@ def _encode_container(header, batch, beg, end, tid, ref_lookup, counter,
     for key, data in st.b.items():
         cid = CID[key] if key in CID else key  # tag streams keyed by cid
         content_ids.append(cid)
-        ext_blocks.append(encode_block(1, 4, cid, bytes(data)))
+        ext_blocks.append(encode_block(-1, 4, cid, bytes(data)))
     core_block = encode_block(0, 5, 0, b"")
 
     md5 = b"\x00" * 16
