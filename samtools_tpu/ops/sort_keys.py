@@ -97,6 +97,25 @@ def coordinate_order(batch) -> np.ndarray:
     return np.lexsort(coordinate_keys(batch))
 
 
+def coordinate_pack(batch) -> np.ndarray | None:
+    """Single radix-sortable uint64 per record for SO:coordinate —
+    the bam_sort.c:2436 packed-key formulation: tid(30) | pos+1(32) |
+    rev(1), unmapped (tid<0) in the all-ones tid field so it sorts
+    last.  None when the ranges don't fit (>2^30 contigs or >2^32-2
+    positions — the reference's own large-pos SAM-spill territory)."""
+    tid = batch.tid.astype(np.int64)
+    pos = batch.pos.astype(np.int64)
+    if batch.n and (tid.max(initial=0) >= (1 << 30) - 1
+                    or pos.max(initial=0) >= (1 << 32) - 1
+                    or pos.min(initial=0) < -1):
+        return None
+    tidf = np.where(tid < 0, (1 << 30) - 1, tid).astype(np.uint64)
+    rev = ((batch.flag.astype(np.uint64) & F.FREVERSE) != 0)
+    return (tidf << np.uint64(33)) \
+        | ((pos + 1).astype(np.uint64) << np.uint64(1)) \
+        | rev.astype(np.uint64)
+
+
 def queryname_keys(batch, natural: bool = True) -> tuple:
     return (qname_flag_key(batch), name_ranks(batch, natural))
 

@@ -133,8 +133,14 @@ def _try_external_sort(fn_in, fn_out, order, natural, by_tag, key_fn_maker,
     mem = max_mem * max(1, ga.nthreads)
     prefix = tmpprefix or ((fn_out or "samtools") + f".tmp.{os.getpid()}")
     key_fn = key_fn_maker(stream.header)
+    pack_fn = None
+    if order == "coordinate" and stream.header.n_refs < (1 << 30) - 1:
+        # BAM positions are int32, so the packed radix key always fits:
+        # the merge runs on single uint64 keys (ops.sort_keys
+        # .coordinate_pack) with incremental per-run pools
+        pack_fn = sk.coordinate_pack
     sorter = SpillSorter(stream.header, key_fn, key_kind, mem, prefix,
-                         threads=ga.nthreads)
+                         threads=ga.nthreads, pack_fn=pack_fn)
     try:
         mapped = False
         for b in stream.batches():

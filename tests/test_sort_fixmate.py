@@ -132,3 +132,29 @@ def test_sort_external_spill_matches_in_memory(extra, tmp_path):
     assert rc == 0
     assert _no_pg(ext) == _no_pg(mem)
     assert not list(tmp_path.iterdir())  # spill runs cleaned up
+
+
+def test_sort_external_packed_merge_stress(tmp_path):
+    """Many spill runs through the packed-key incremental merge: a
+    shuffled simulated batch (with unmapped and reverse reads) sorted
+    under a tiny arena must match the in-memory sort byte-for-byte."""
+    import numpy as np
+    from samtools_tpu.sim import make_header, simulate_batch
+    from samtools_tpu.io.bam import write_bam
+    b = simulate_batch(ref_len=1 << 16, coverage=40.0, read_len=50,
+                       seed=9, paired=True)
+    rng = np.random.RandomState(1)
+    perm = rng.permutation(b.n)
+    b = b.take(perm)
+    # park some reads unmapped (tid -1 sorts last)
+    unm = rng.choice(b.n, 50, replace=False)
+    b.tid[unm] = -1
+    b.flag[unm] |= 0x4
+    src = str(tmp_path / "in.bam")
+    write_bam(src, make_header(1 << 16), b, threads=1)
+    rc, mem = run_cli(["sort", "-O", "SAM", "-o", "-", src])
+    assert rc == 0
+    rc, ext = run_cli(["sort", "-m", "200K", "-T",
+                       str(tmp_path / "sp"), "-O", "SAM", "-o", "-", src])
+    assert rc == 0
+    assert _no_pg(ext) == _no_pg(mem)
