@@ -211,10 +211,13 @@ def encode_cram(header, batch, ref_lookup, version=(3, 0),
     fid = b"samtools_tpu.cram"
     out += fid.ljust(20, b"\x00")[:20]
 
-    # SAM header container: one raw block, no padding subtleties
+    # SAM header container: one RAW block padded with NULs so the
+    # header can later be replaced in place (cram_reheader_inplace,
+    # bam_reheader.c:193 — htslib pads the same way)
     htext = header.text.encode("latin-1")
-    hpayload = struct.pack("<i", len(htext)) + htext
-    hblock = encode_block(1, 0, 0, hpayload)
+    pad = max(1024, len(htext) // 2)
+    hpayload = struct.pack("<i", len(htext)) + htext + b"\x00" * pad
+    hblock = encode_block(0, 0, 0, hpayload)
     out += _container_header(len(hblock), 0, 0, 0, 0, 0, 0, 1, [0])
     out += hblock
 

@@ -38,10 +38,45 @@ EI = 0.25
 EM = 1.0 / 3.0
 
 # margin (in phred units) below which an f32 posterior is considered at
-# risk of rounding differently than the f64 host HMM
-PHRED_MARGIN = 1.5e-3
+# risk of rounding differently than the f64 host HMM.  The decode sums
+# the leak (non-best posterior mass) directly instead of computing
+# 1 - max/sum — the subtraction cancels catastrophically in f32 once
+# the posterior is confident, which is what made wider margins still
+# leak mismatches.  With direct summation the f32 value error is
+# ~1e-4 phred, so a 3e-3 margin has a 30x cushion.
+PHRED_MARGIN = 3e-3
 # relative margin for best-state ties in the posterior argmax
-TIE_MARGIN = 1e-4
+TIE_MARGIN = 3e-4
+
+
+def _decode_row(fM_i, bM_i, fI_i, bI_i, i, diag_off, qrow, B: int,
+                W: int, bw: int):
+    """Posterior decode of one query row: best state, phred of 1-p,
+    risk flags.  The leak (competitor mass) is summed directly — never
+    computed as zsum - max — so the f32 value tracks the f64 host HMM
+    to ~1e-4 phred even for confident bases.  A rounding-boundary base
+    is flagged risky only when a +-1 flip could change the OUTPUT,
+    i.e. when floor(val) <= q+1 (beyond that the qual cap absorbs it)."""
+    import jax.numpy as jnp
+    z2 = jnp.stack([fM_i * bM_i, fI_i * bI_i], axis=-1).reshape(B, 2 * W)
+    best = jnp.argmax(z2, axis=-1)
+    mx = jnp.take_along_axis(z2, best[:, None], axis=-1)[:, 0]
+    z2z = z2.at[jnp.arange(B), best].set(0.0)
+    leak = z2z.sum(-1)
+    mx2 = z2z.max(-1)
+    tot = mx + leak
+    val = -4.343 * (jnp.log(jnp.maximum(leak, 1e-38))
+                    - jnp.log(jnp.maximum(tot, 1e-38))) + 0.499
+    kq = jnp.where(leak > 0, val.astype(jnp.int32), 100)
+    bq = jnp.where(kq > 100, 99, kq)
+    frac = val - jnp.floor(val)
+    matters = jnp.floor(val) <= qrow.astype(jnp.float32) + 1
+    risky = ((jnp.minimum(frac, 1 - frac) < PHRED_MARGIN) & matters) | \
+            (mx2 > (1 - TIE_MARGIN) * mx)
+    kbest = best // 2 + i - 1 - bw
+    isI = (best % 2).astype(jnp.int32)
+    good = (isI == 0) & (kbest == diag_off + (i - 1)) & (mx > 0)
+    return bq, good, risky
 
 
 def _toeplitz(W: int, decay: float, lower: bool, dtype):
@@ -198,25 +233,9 @@ def _probaln_batch(ref_win, query, qual, diag_off, l_query: int,
         bMr, bIr, bD = bMr * inv, bIr * inv, bD * inv
 
         # decode row i with stored f and fresh b
-        zM = fM_i * bMr
-        zI = fI_i * bIr
-        zsum = (zM + zI).sum(-1)
-        z2 = jnp.stack([zM, zI], axis=-1).reshape(B, 2 * W)
-        best = jnp.argmax(z2, axis=-1)
-        mx = jnp.take_along_axis(z2, best[:, None], axis=-1)[:, 0]
-        # second-best for tie-margin risk
-        z2m = z2.at[jnp.arange(B), best].set(-jnp.inf)
-        mx2 = z2m.max(-1)
-        mxn = jnp.where(zsum > 0, mx / zsum, 0.0)
-        val = -4.343 * jnp.log1p(-jnp.minimum(mxn, 1 - 1e-30)) + 0.499
-        kq = jnp.where(mxn < 1.0, val.astype(jnp.int32), 100)
-        bq = jnp.where(kq > 100, 99, kq)
-        frac = val - jnp.floor(val)
-        risky = (jnp.minimum(frac, 1 - frac) < PHRED_MARGIN) | \
-                (mx2 > (1 - TIE_MARGIN) * mx)
-        kbest = best // 2 + i - 1 - bw      # k-1 (0-based ref offset)
-        isI = (best % 2).astype(jnp.int32)
-        good = (isI == 0) & (kbest == diag_off + (i - 1)) & (mx > 0)
+        qrow = qual.T[jnp.minimum(i - 1, l_query - 1)]  # qual[i-1]
+        bq, good, risky = _decode_row(fM_i, bMr, fI_i, bIr, i, diag_off,
+                                      qrow, B, W, bw)
         return (bMr, bIr, bD), (bq, good, risky)
 
     ridx = jnp.arange(l_query - 1, 0, -1, dtype=jnp.int32)
@@ -225,24 +244,9 @@ def _probaln_batch(ref_win, query, qual, diag_off, l_query: int,
         (ridx, fMs[:-1][::-1], fIs[:-1][::-1], s_all[:-1][::-1]))
 
     # decode the last row directly (b at l_query is the init row)
-    zM = fMs[-1] * bM_init
-    zI = fIs[-1] * bI_init
-    zsum = (zM + zI).sum(-1)
-    z2 = jnp.stack([zM, zI], axis=-1).reshape(B, 2 * W)
-    best = jnp.argmax(z2, axis=-1)
-    mx = jnp.take_along_axis(z2, best[:, None], axis=-1)[:, 0]
-    z2m = z2.at[jnp.arange(B), best].set(-jnp.inf)
-    mx2 = z2m.max(-1)
-    mxn = jnp.where(zsum > 0, mx / zsum, 0.0)
-    val = -4.343 * jnp.log1p(-jnp.minimum(mxn, 1 - 1e-30)) + 0.499
-    kq = jnp.where(mxn < 1.0, val.astype(jnp.int32), 100)
-    bq_l = jnp.where(kq > 100, 99, kq)
-    frac = val - jnp.floor(val)
-    risky_l = (jnp.minimum(frac, 1 - frac) < PHRED_MARGIN) | \
-              (mx2 > (1 - TIE_MARGIN) * mx)
-    kbest = best // 2 + l_query - 1 - bw
-    isI = (best % 2).astype(jnp.int32)
-    good_l = (isI == 0) & (kbest == diag_off + (l_query - 1)) & (mx > 0)
+    bq_l, good_l, risky_l = _decode_row(fMs[-1], bM_init, fIs[-1],
+                                        bI_init, l_query, diag_off,
+                                        qual[:, l_query - 1], B, W, bw)
 
     # assemble [B, LQ]: rows scanned were l_query-1 .. 1
     bq_all = jnp.concatenate([bqs[::-1], bq_l[None]], axis=0).T

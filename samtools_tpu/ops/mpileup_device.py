@@ -211,6 +211,7 @@ class DeviceCensusPipeline:
         census_add = _get_census_add()
         l_ref = LQ + self.bw // 2
         C = self.chunk
+        risky_parts = []  # (device risky mask, chunk lo, n)
         for lo in range(0, dsel.size, C):
             hi = min(lo + C, dsel.size)
             n = hi - lo
@@ -235,21 +236,31 @@ class DeviceCensusPipeline:
             if not self.baq_flag:
                 appq = qqd
                 risky = jnp.zeros(npad, bool)
-            rk = np.array(risky)
-            rk[n:] = True  # padding contributes nothing
-            ok = jnp.asarray(~rk)
-            # per-chunk tile plan over the covered span
+            # padding rows contribute nothing; risky reads are excluded
+            # on device and recomputed on host AFTER the batch (the
+            # mask stays device-resident — fetching it per chunk costs
+            # a tunnel round trip per chunk)
+            pad_ok = jnp.arange(npad) < n
+            ok = (~risky) & pad_ok
             plan = self._plan(pc[:n], n, npad)
-            census_add_out = census_add(
+            self.census_dev = census_add(
                 self.census_dev, jnp.asarray(pc, jnp.int32), sqd, appq,
                 ok, plan[0], plan[1], jnp.int32(plan[2]), LQ,
                 plan[3], plan[4], self.tile, 16, self.min_baseq,
                 plan[5])
-            self.census_dev = census_add_out
-            nrisk = int(rk[:n].sum())
-            if nrisk:
-                self.n_risky += nrisk
-                gsel = dsel[lo:hi][rk[:n]]
+            risky_parts.append((risky, lo, n))
+        if risky_parts:
+            allr = np.asarray(jnp.concatenate(
+                [r for r, _, _ in risky_parts]))
+            gidx = []
+            for (_, lo, n), off in zip(risky_parts,
+                                       range(0, len(risky_parts) * C, C)):
+                rk = allr[off:off + n]
+                if rk.any():
+                    gidx.append(dsel[lo:lo + n][rk])
+            if gidx:
+                gsel = np.concatenate(gidx)
+                self.n_risky += gsel.size
                 self._host_reads(b, gsel)
 
     def _plan(self, pos_n: np.ndarray, n: int, npad: int):
@@ -303,8 +314,27 @@ class DeviceCensusPipeline:
     # ------------------------------------------------------------------
     def finish(self):
         """One d2h fetch; merge host contributions.  Returns
-        (census int64[wlen,5], qsum int64[wlen])."""
-        dev = np.asarray(self.census_dev)[:self.wlen]
-        census = dev[:, :5].astype(np.int64) + self.host_census
-        qsum = dev[:, 5].astype(np.int64) + self.host_qsum
+        (census int64[wlen,5], qsum int64[wlen]).  The fetch narrows to
+        the smallest lossless dtype per column group first — the
+        device->host link is the pipeline's scarcest resource."""
+        import jax
+        import jax.numpy as jnp
+
+        @jax.jit
+        def _split(c):
+            counts = c[:, :5]
+            qsum = c[:, 5]
+            return counts.max(), qsum.max(), counts, qsum
+
+        cmax, qmax, counts, qsum = _split(self.census_dev)
+        cmax, qmax = int(cmax), int(qmax)
+        cdt = (jnp.uint8 if cmax < 256 else
+               jnp.uint16 if cmax < 65536 else jnp.int32)
+        qdt = jnp.uint16 if qmax < 65536 else jnp.int32
+        counts = np.asarray(jax.jit(
+            lambda x, d=cdt: x.astype(d))(counts))[:self.wlen]
+        qsum = np.asarray(jax.jit(
+            lambda x, d=qdt: x.astype(d))(qsum))[:self.wlen]
+        census = counts.astype(np.int64) + self.host_census
+        qsum = qsum.astype(np.int64) + self.host_qsum
         return census, qsum

@@ -1203,8 +1203,30 @@ def _filtered_reads(b, opts, sel):
         yield PRead(b, i)
 
 
-def _run_one(opts, b, c: Ctx):
-    """One pileup_loop pass + trailing output (pileup_loop_serial)."""
+def _stream_reads(src, opts, c: Ctx):
+    """Record iterator for pileup_loop: bounded-memory batch windows
+    from a BamStream (the span-block streaming analog of
+    bam_consensus.c:2626's per-block region iterators), or the direct
+    selection when src is an in-memory batch."""
+    if isinstance(src, tuple):  # ("stream", BamStream)
+        st = src[1]
+        if c.iter:
+            tid, beg, end = c.iter
+            qb = st.query(tid, beg, end)
+            if qb is not None:
+                yield from _filtered_reads(qb, opts, np.arange(qb.n))
+                return
+            # no index: filtered full scan, still windowed
+            for wb in st.batches():
+                endp = _endpos_arr(wb)
+                sel = np.nonzero((wb.tid == tid) & (wb.pos < end)
+                                 & (endp > beg))[0]
+                yield from _filtered_reads(wb, opts, sel)
+            return
+        for wb in st.batches():
+            yield from _filtered_reads(wb, opts, np.arange(wb.n))
+        return
+    b = src
     if c.iter:
         tid, beg, end = c.iter
         endp = _endpos_arr(b)
@@ -1212,9 +1234,14 @@ def _run_one(opts, b, c: Ctx):
                          & (endp > beg))[0]
     else:
         sel = np.arange(b.n)
+    yield from _filtered_reads(b, opts, sel)
+
+
+def _run_one(opts, b, c: Ctx):
+    """One pileup_loop pass + trailing output (pileup_loop_serial)."""
     seq_init = nm_init if opts.mode != MODE_SIMPLE else None
     col_fn = basic_pileup if opts.fmt == PILEUP else basic_fasta
-    if pileup_loop(_filtered_reads(b, opts, sel), seq_init, col_fn, c) < 0:
+    if pileup_loop(_stream_reads(b, opts, c), seq_init, col_fn, c) < 0:
         return -1
 
     if opts.fmt == PILEUP:
@@ -1499,14 +1526,30 @@ def main_consensus(argv: list[str]) -> int:
         usage(sys.stdout if not args else sys.stderr)
         return 0 if not args else 1
 
+    # BGZF BAM inputs stream in bounded windows (the reference's
+    # span-block memory profile); SAM/CRAM fall back to the in-memory
+    # reader
+    stream = None
     try:
-        f = read_alignments(args[0], threads=ga.nthreads)
+        from ..io.stream import BamStream
+        stream = BamStream(args[0], threads=ga.nthreads or 2)
+        opts.header = stream.header
+        b = ("stream", stream)
     except OSError as e:
         print_error_errno("consensus", 'Cannot open input file "%s"',
                           args[0], exc=e)
         return 1
-    opts.header = f.header
-    b = f.batch
+    except Exception:
+        stream = None
+    if stream is None:
+        try:
+            f = read_alignments(args[0], threads=ga.nthreads)
+        except OSError as e:
+            print_error_errno("consensus", 'Cannot open input file "%s"',
+                              args[0], exc=e)
+            return 1
+        opts.header = f.header
+        b = f.batch
 
     if opts.ref_fn:
         try:
@@ -1588,6 +1631,8 @@ def main_consensus(argv: list[str]) -> int:
         if _run_one(opts, b, c) < 0:
             ret = 1
 
+    if stream is not None:
+        stream.close()
     if opts.fp_out is not sys.stdout:
         opts.fp_out.close()
     else:

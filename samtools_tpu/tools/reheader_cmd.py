@@ -24,6 +24,93 @@ from .common import (UsageError, gnu_getopt, print_error,
                      print_error_errno)
 
 
+def _cram_header_site(data: bytes):
+    """Locate the SAM-header block inside the first container: returns
+    (container_start, payload_off, comp_size, method, crc_off)."""
+    import struct
+    from ..io.cram import itf8, parse_container, parse_file_definition
+    major, _minor, pos = parse_file_definition(data)
+    cont, i = parse_container(data, pos, major)
+    off = i
+    method = data[off]
+    off += 2  # method, ctype
+    _cid, off = itf8(data, off)
+    comp, off = itf8(data, off)
+    _usize, off = itf8(data, off)
+    crc_off = off + comp if major >= 3 else -1
+    del struct, cont
+    return pos, off, comp, method, crc_off, i
+
+
+def _reheader_cram_inplace(path: str, new_header) -> int:
+    """cram_reheader_inplace (bam_reheader.c:193): rewrite the padded
+    SAM-header block in place when the new text fits."""
+    import struct
+    import zlib
+    with open(path, "r+b") as f:
+        head = f.read(1 << 22)
+        try:
+            _pos, poff, comp, method, crc_off, blk_off = \
+                _cram_header_site(head)
+        except Exception:
+            print_error("reheader", "unable to parse CRAM '%s'", path)
+            return 1
+        text = new_header.text.encode("latin-1")
+        payload = struct.pack("<i", len(text)) + text
+        if method != 0 or len(payload) > comp:
+            print_error(
+                "reheader",
+                "unable to fit new header into '%s' in place "
+                "(need %d bytes raw, block holds %d)",
+                path, len(payload), comp if method == 0 else 0)
+            return 1
+        padded = payload + b"\x00" * (comp - len(payload))
+        f.seek(poff)
+        f.write(padded)
+        if crc_off > 0:
+            blk = head[blk_off:poff] + padded
+            f.seek(crc_off)
+            f.write(struct.pack("<I", zlib.crc32(blk) & 0xFFFFFFFF))
+    return 0
+
+
+def _splice_cram(path: str, new_header, out) -> bool:
+    """CRAM reheader to stdout: new header container + byte-for-byte
+    copy of every following container (bam_cat-style splice;
+    cram_reheader at bam_reheader.c:124)."""
+    from ..io.cram_encode import _container_header, encode_block
+    import struct
+    with open(path, "rb") as f:
+        head = f.read(1 << 22)
+        if head[:4] != b"CRAM":
+            return False
+        try:
+            pos, _poff, comp, _method, crc_off, i = \
+                _cram_header_site(head)
+        except Exception:
+            return False
+        # end of the first container's payload
+        from ..io.cram import parse_container, parse_file_definition
+        major, _m2, p0 = parse_file_definition(head)
+        cont, i2 = parse_container(head, p0, major)
+        first_end = i2 + cont.length
+        out.write(head[:p0])
+        htext = new_header.text.encode("latin-1")
+        pad = max(1024, len(htext) // 2)
+        hpayload = struct.pack("<i", len(htext)) + htext + b"\x00" * pad
+        hblock = encode_block(0, 0, 0, hpayload)
+        out.write(_container_header(len(hblock), 0, 0, 0, 0, 0, 0, 1,
+                                    [0]))
+        out.write(hblock)
+        f.seek(first_end)
+        while True:
+            chunk = f.read(1 << 24)
+            if not chunk:
+                break
+            out.write(chunk)
+    return True
+
+
 class _LazyBam:
     """Header-only view of a BGZF BAM (records untouched)."""
 
@@ -32,10 +119,39 @@ class _LazyBam:
         self._splice_path = path
 
 
+class _LazyCram:
+    """Header-only view of a CRAM (containers untouched)."""
+
+    def __init__(self, path: str, header):
+        self.header = header
+        self._cram_path = path
+
+
 def _open_lazy(path: str):
-    """Open for reheader: BGZF BAMs get a header-only handle (the
-    record bytes will be raw-spliced); everything else falls back to
-    the generic reader."""
+    """Open for reheader: BGZF BAMs and CRAMs get header-only handles
+    (their record bytes will be raw-spliced); everything else falls
+    back to the generic reader."""
+    try:
+        with open(path, "rb") as f:
+            magic = f.read(4)
+            if magic == b"CRAM":
+                import struct
+                f.seek(0)
+                head = f.read(1 << 22)
+                _pos, poff, comp, method, _crc, _i = \
+                    _cram_header_site(head)
+                from ..io.cram import parse_block, parse_file_definition
+                from ..io.header import SamHeader
+                major, _m, p0 = parse_file_definition(head)
+                from ..io.cram import parse_container
+                cont, i2 = parse_container(head, p0, major)
+                blk, _ = parse_block(head, i2, major)
+                hd = blk.data()
+                tlen = struct.unpack_from("<i", hd, 0)[0]
+                text = hd[4:4 + tlen].rstrip(b"\x00").decode("latin-1")
+                return _LazyCram(path, SamHeader.from_text(text))
+    except Exception:
+        pass
     try:
         from ..io.stream import BamStream
         st = BamStream(path)
@@ -160,7 +276,7 @@ def main_reheader(argv: list[str]) -> int:
                               bam_path, exc=e)
             return 1
 
-    if inplace:
+    if inplace and getattr(f, "_cram_path", None) is None:
         print_error("reheader", "cannot reheader BAM '%s' in-place",
                     bam_path)
         return 1
@@ -170,6 +286,17 @@ def main_reheader(argv: list[str]) -> int:
             "samtools", "samtools",
             "samtools reheader " + " ".join(argv),
             SAMTOOLS_PARITY_VERSION)
+
+    if getattr(f, "_cram_path", None) is not None:
+        if not new_header.ref_names:
+            new_header.ref_names = f.header.ref_names
+            new_header.ref_lens = f.header.ref_lens
+        if inplace:
+            return _reheader_cram_inplace(f._cram_path, new_header)
+        if _splice_cram(f._cram_path, new_header, sys.stdout.buffer):
+            return 0
+        print_error("reheader", "failed to reheader CRAM '%s'", bam_path)
+        return 1
 
     if getattr(f, "_splice_path", None) is not None:
         if not new_header.ref_names:

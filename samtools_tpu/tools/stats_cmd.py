@@ -1671,23 +1671,38 @@ def main_stats(argv: list[str]) -> int:
             rest = rest[1:]   # index path (we find indices by name anyway)
         region_args = rest
 
+        # BGZF BAMs stream in bounded windows (the reference's
+        # one-record-at-a-time memory profile, stats.c:1212); other
+        # formats fall back to the in-memory reader
+        stream = None
+        b = None
         try:
-            f = read_alignments(bam_fname, threads=ga.nthreads)
+            from ..io.stream import BamStream
+            stream = BamStream(bam_fname, threads=ga.nthreads or 2)
+            info.header = stream.header
         except OSError as e:
             print_error_errno("stats", "failed to open \"%s\"", bam_fname,
                               exc=e)
             return 1
-        info.header = f.header
-        b = f.batch
+        except Exception:
+            stream = None
+        if stream is None:
+            try:
+                f = read_alignments(bam_fname, threads=ga.nthreads)
+            except OSError as e:
+                print_error_errno("stats", "failed to open \"%s\"",
+                                  bam_fname, exc=e)
+                return 1
+            info.header = f.header
+            b = f.batch
 
         all_stats = Stats(info, group_id=group_id, targets=targets)
         split_hash: dict[str, Stats] = {}
         read_pairs: dict = {}
         read_pairs_split: dict[str, dict] = {}
 
+        merged: dict[int, list] = {}
         if region_args:
-            merged: dict[int, list] = {}
-            order_sel: list[np.ndarray] = []
             for ra in region_args:
                 r = parse_region(ra, info.header.tid, info.header.n_refs)
                 tid, beg, end = r.tid, r.beg, r.end
@@ -1705,23 +1720,31 @@ def main_stats(argv: list[str]) -> int:
                 merged[tid] = out
             if not targets:
                 all_stats.replicate_regions(merged)
-            # multi-region read selection, file order, dedup
-            sel_mask = np.zeros(b.n, bool)
-            endp = _batch_endpos(b)
+        elif info.cov_threshold > 0 and not targets:
+            sys.stderr.write("Coverage percentage calculation requires"
+                             " a list of target regions\n")
+            return 1
+
+        def _region_sel(wb):
+            sel_mask = np.zeros(wb.n, bool)
+            endp = _batch_endpos(wb)
             for tid, ivals in merged.items():
                 for bgn, e in ivals:
-                    sel_mask |= ((b.tid == tid) & (b.pos < e)
+                    sel_mask |= ((wb.tid == tid) & (wb.pos < e)
                                  & (endp > bgn))
-            indices = np.nonzero(sel_mask)[0]
-        else:
-            if info.cov_threshold > 0 and not targets:
-                sys.stderr.write("Coverage percentage calculation requires"
-                                 " a list of target regions\n")
-                return 1
-            indices = range(b.n)
+            return np.nonzero(sel_mask)[0]
 
-        for i in indices:
-            rec = _Rec(b, int(i))
+        def _windows():
+            if stream is not None:
+                for wb in stream.batches():
+                    yield wb, (_region_sel(wb) if region_args
+                               else range(wb.n))
+            else:
+                yield b, (_region_sel(b) if region_args else range(b.n))
+
+        for wb, indices in _windows():
+          for i in indices:
+            rec = _Rec(wb, int(i))
             if info.split_tag:
                 got = auxmod.get_value(rec.aux, info.split_tag)
                 if got is None:
