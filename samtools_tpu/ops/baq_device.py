@@ -178,7 +178,11 @@ def _probaln_batch(ref_win, query, qual, diag_off, l_query: int,
         # set_u-clamped alias of its own M (C reads fi[0*3] which holds
         # this row's just-written fM at j=0)
         Mshift = jnp.concatenate([fM[:, :1], fM[:, :-1]], axis=1)
-        fD = (m2 * Mshift) @ TL
+        # HIGHEST precision: the default f32 matmul feeds the MXU with
+        # bf16 inputs (~1e-3 relative), which leaks into the posterior
+        # decode; three-pass bf16 restores ~f32 accuracy
+        fD = jnp.matmul(m2 * Mshift, TL,
+                        precision=jax.lax.Precision.HIGHEST)
         fD = jnp.where(mask, fD, 0.0)
         s = (fM + fI + fD).sum(-1)
         inv = 1.0 / s[:, None]
@@ -221,7 +225,8 @@ def _probaln_batch(ref_win, query, qual, diag_off, l_query: int,
         ee = e1 * nM                        # e * b_{i+1}[v11]
         # v10+1: next-row I at j-1, set_u clamped to j=0 at the left edge
         nIs = jnp.concatenate([nI[:, :1], nI[:, :-1]], axis=1)
-        bD = (ee * m6) @ TU                 # D[j] = ee*m6 + m8*D[j+1]
+        bD = jnp.matmul(ee * m6, TU,        # D[j] = ee*m6 + m8*D[j+1]
+                        precision=jax.lax.Precision.HIGHEST)
         bDs = jnp.pad(bD, ((0, 0), (0, 1)))[:, 1:]   # D[j+1], zero pad
         bMr = ee * m0 + EI * m1 * nIs + m2 * bDs
         bIr = ee * m3 + EI * m4 * nIs

@@ -85,6 +85,60 @@ def _get_census_add():
     return _CENSUS_ADD
 
 
+def _chunk_jit():
+    """One fused launch per chunk: ref-window gather + BAQ HMM +
+    finalize + census accumulate.  The host<->device tunnel charges
+    per dispatch, so the whole chunk must be a single executable."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+    from . import baq_device
+
+    @partial(jax.jit, static_argnames=(
+        "l_query", "l_ref", "bw", "n_tiles_pad", "B", "tile", "chunk",
+        "passes", "min_baseq", "baq_flag"))
+    def chunk_step(census, ref_dev, buf, n_live, lo, hi, wbeg,
+                   l_query: int, l_ref: int, bw: int, n_tiles_pad: int,
+                   B: int, tile: int, chunk: int, passes: int,
+                   min_baseq: int, baq_flag: int):
+        # buf: uint8[C, 4 + 2*l_query] = LE int32 pos | seq codes | qual
+        # (one h2d transfer per chunk instead of three)
+        pb = buf[:, :4].astype(jnp.int32)
+        pc = pb[:, 0] | (pb[:, 1] << 8) | (pb[:, 2] << 16) \
+            | (pb[:, 3] << 24)
+        sq = buf[:, 4:4 + l_query]
+        qq = buf[:, 4 + l_query:4 + 2 * l_query]
+        idx = jnp.minimum(pc, ref_dev.shape[0] - 1)[:, None] \
+            + jnp.arange(l_ref)[None, :]
+        ref_win = ref_dev[jnp.clip(idx, 0, ref_dev.shape[0] - 1)]
+        diag = jnp.zeros(pc.shape[0], jnp.int32)
+        bq, good, risky = baq_device._probaln_batch(
+            ref_win, sq, qq, diag, l_query, l_ref, bw)
+        appq = baq_device._finalize(bq, good, qq, l_query)
+        if not baq_flag:
+            appq = qq
+            risky = jnp.zeros(pc.shape[0], bool)
+        pad_ok = jnp.arange(pc.shape[0]) < n_live
+        ok = (~risky) & pad_ok
+        census = _get_census_add()(
+            census, pc.astype(jnp.int32), sq, appq, ok, lo, hi,
+            wbeg, l_query, n_tiles_pad, B, tile, chunk, min_baseq,
+            passes)
+        return census, risky
+
+    return chunk_step
+
+
+_CHUNK_STEP = None
+
+
+def _get_chunk_step():
+    global _CHUNK_STEP
+    if _CHUNK_STEP is None:
+        _CHUNK_STEP = _chunk_jit()
+    return _CHUNK_STEP
+
+
 def _host_census(census, qsum, pos, cigar, cigar_off, seq4, qual, seq_off,
                  ref_int, min_baseq, baq_flag):
     """Host path: native f64 BAQ + vectorized census accumulate for the
@@ -208,7 +262,7 @@ class DeviceCensusPipeline:
         qual = b.qual[
             (b.seq_off[dsel][:, None] + np.arange(LQ)[None, :])]
 
-        census_add = _get_census_add()
+        chunk_step = _get_chunk_step()
         l_ref = LQ + self.bw // 2
         C = self.chunk
         risky_parts = []  # (device risky mask, chunk lo, n)
@@ -219,35 +273,20 @@ class DeviceCensusPipeline:
             pc = np.zeros(npad, np.int64)
             pc[:n] = pos[lo:hi]
             pc[n:] = self.wlen  # park padding out of every tile
-            sq = np.zeros((npad, LQ), np.uint8)
-            sq[:n] = seq4[lo:hi]
-            qq = np.zeros((npad, LQ), np.uint8)
-            qq[:n] = qual[lo:hi]
-            idx = jnp.asarray(np.minimum(pc, self.ref_int.size - 1)
-                              )[:, None] + jnp.arange(l_ref)[None, :]
-            ref_win = self.ref_dev[jnp.clip(idx, 0,
-                                            self.ref_int.size - 1)]
-            sqd = jax.device_put(sq)
-            qqd = jax.device_put(qq)
-            diag = jnp.zeros(npad, jnp.int32)
-            bq, good, risky = baq_device._probaln_batch(
-                ref_win, sqd, qqd, diag, LQ, l_ref, self.bw)
-            appq = baq_device._finalize(bq, good, qqd, LQ)
-            if not self.baq_flag:
-                appq = qqd
-                risky = jnp.zeros(npad, bool)
-            # padding rows contribute nothing; risky reads are excluded
-            # on device and recomputed on host AFTER the batch (the
-            # mask stays device-resident — fetching it per chunk costs
-            # a tunnel round trip per chunk)
-            pad_ok = jnp.arange(npad) < n
-            ok = (~risky) & pad_ok
+            buf = np.zeros((npad, 4 + 2 * LQ), np.uint8)
+            buf[:, :4] = pc.astype("<i4").view(np.uint8).reshape(npad, 4)
+            buf[:n, 4:4 + LQ] = seq4[lo:hi]
+            buf[:n, 4 + LQ:] = qual[lo:hi]
             plan = self._plan(pc[:n], n, npad)
-            self.census_dev = census_add(
-                self.census_dev, jnp.asarray(pc, jnp.int32), sqd, appq,
-                ok, plan[0], plan[1], jnp.int32(plan[2]), LQ,
-                plan[3], plan[4], self.tile, 16, self.min_baseq,
-                plan[5])
+            # one fused device launch + one h2d transfer per chunk; the
+            # risky mask stays device-resident (fetching per chunk
+            # costs a tunnel round trip), host recompute happens once
+            # per batch below
+            self.census_dev, risky = chunk_step(
+                self.census_dev, self.ref_dev, jax.device_put(buf),
+                np.int32(n), plan[0], plan[1], jnp.int32(plan[2]),
+                LQ, l_ref, self.bw, plan[3], plan[4], self.tile, 16,
+                plan[5], self.min_baseq, 1 if self.baq_flag else 0)
             risky_parts.append((risky, lo, n))
         if risky_parts:
             allr = np.asarray(jnp.concatenate(
