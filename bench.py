@@ -119,11 +119,13 @@ def warmup(ref_int: np.ndarray) -> float:
     from samtools_tpu.core.batch import ReadBatch
     from samtools_tpu.sim import simulate_batch
     t0 = time.perf_counter()
-    wlen = 1 << 18
-    small = simulate_batch(ref_len=wlen, coverage=COVERAGE,
+    # full-size pipeline so every kernel compiles at the exact shapes
+    # the measured run uses (the census buffer shape is part of the
+    # compiled signature); the batch itself is small
+    small = simulate_batch(ref_len=1 << 18, coverage=COVERAGE,
                            read_len=READ_LEN, seed=1, paired=False,
                            ref=None)
-    pipe = DeviceCensusPipeline(ref_int[:wlen], wlen)
+    pipe = DeviceCensusPipeline(ref_int, REF_LEN)
     pipe.add_batch(small)
     pipe.finish()
     del ReadBatch

@@ -75,6 +75,9 @@ def main_cat(argv: list[str]) -> int:
         usage(sys.stderr)
         return 1
 
+    rc = _try_splice_cram(paths, header_file, fn_out, ga, no_pg, argv)
+    if rc is not None:
+        return rc
     rc = _try_splice(paths, header_file, fn_out, ga, no_pg, fast, argv)
     if rc is not None:
         return rc
@@ -113,6 +116,109 @@ def main_cat(argv: list[str]) -> int:
     level = 1 if fast else 6
     write_alignments(fn_out, header, out, fmt=fmt, threads=ga.nthreads,
                      level=level, include_header=True)
+    return 0
+
+
+def _try_splice_cram(paths, header_file, fn_out, ga, no_pg, argv):
+    """CRAM container splice (bam_cat.c:385 cram_cat): every input's
+    containers are copied byte-for-byte after one new header container;
+    per-file header and EOF containers are dropped.  Returns an exit
+    code when handled, or None when any input is not CRAM (or the
+    output format says otherwise)."""
+    import struct
+    from ..io.cram import (parse_container, parse_file_definition,
+                           parse_block)
+    from ..io.cram_encode import (CRAM_EOF, _container_header,
+                                  encode_block)
+    from ..io.header import SamHeader
+
+    fmt = infer_output_format(fn_out, ga.out_fmt, "bam")
+    for path in paths:
+        try:
+            with open(path, "rb") as f:
+                if f.read(4) != b"CRAM":
+                    return None
+        except OSError as e:
+            print_error_errno("cat", 'fail to open file "%s"', path,
+                              exc=e)
+            return 1
+    # all inputs are CRAM: splice unless the user explicitly asked for
+    # a different output container
+    if (ga.out_fmt or "").lower().startswith("bam") \
+            or (fn_out or "").endswith(".bam") or fmt == "sam":
+        return None
+
+    def read_header(path):
+        head = open(path, "rb").read(1 << 22)
+        major, _m, p0 = parse_file_definition(head)
+        cont, i2 = parse_container(head, p0, major)
+        blk, _ = parse_block(head, i2, major)
+        hd = blk.data()
+        tlen = struct.unpack_from("<i", hd, 0)[0]
+        text = hd[4:4 + tlen].rstrip(b"\x00").decode("latin-1")
+        return SamHeader.from_text(text), i2 + cont.length, head[:p0]
+
+    def rg_ids(h):
+        return [ln.split("\tID:", 1)[1].split("\t")[0]
+                for ln in h.text.split("\n")
+                if ln.startswith("@RG") and "\tID:" in ln]
+
+    header, _end0, filedef = read_header(paths[0])
+    for path in paths[1:]:
+        h2, _, _ = read_header(path)
+        if h2.ref_names != header.ref_names:
+            print_error("cat",
+                        "different sequence dictionaries in \"%s\"", path)
+            return 1
+        if rg_ids(h2) != rg_ids(header):
+            # CRAM records store @RG (and tag dictionaries) by header
+            # index; mismatched lists cannot splice — decode instead
+            return None
+    if header_file:
+        try:
+            hf = read_alignments(header_file)
+            header = hf.header
+        except OSError as e:
+            print_error_errno("cat", 'fail to open file "%s"',
+                              header_file, exc=e)
+            return 1
+    if not no_pg:
+        cl = "samtools cat " + " ".join(argv)
+        header = header.add_pg_line("samtools", "samtools", cl,
+                                    SAMTOOLS_PARITY_VERSION)
+
+    out = open(fn_out, "wb") if fn_out else sys.stdout.buffer
+    try:
+        out.write(filedef)
+        htext = header.text.encode("latin-1")
+        pad = max(1024, len(htext) // 2)
+        hpayload = (struct.pack("<i", len(htext)) + htext
+                    + b"\x00" * pad)
+        hblock = encode_block(0, 0, 0, hpayload)
+        out.write(_container_header(len(hblock), 0, 0, 0, 0, 0, 0, 1,
+                                    [0]))
+        out.write(hblock)
+        for path in paths:
+            data = open(path, "rb").read()
+            major, _m, pos = parse_file_definition(data)
+            cont, i = parse_container(data, pos, major)
+            start = i + cont.length  # skip the header container
+            # walk containers to drop the EOF container(s)
+            end = len(data)
+            p = start
+            last_eof = None
+            while p < len(data):
+                c2, j2 = parse_container(data, p, major)
+                if c2.ref_seq_id == -1 and c2.ref_start == 4542278:
+                    last_eof = p
+                p = j2 + c2.length
+            if last_eof is not None:
+                end = last_eof
+            out.write(data[start:end])
+        out.write(CRAM_EOF)
+    finally:
+        if fn_out:
+            out.close()
     return 0
 
 
