@@ -51,6 +51,14 @@ COMMANDS = {
     "cram-size": ("samtools_tpu.tools.cram_size_cmd", "main_cram_size"),
     # ancillary (reference misc/ binaries, not bamtk subcommands)
     "wgsim": ("samtools_tpu.tools.wgsim_cmd", "main_wgsim"),
+    "md5fa": ("samtools_tpu.tools.misc_cmds", "main_md5fa"),
+    "plot-bamstats": ("samtools_tpu.tools.plot_bamstats_cmd",
+                      "main_plot_bamstats"),
+    "plot-ampliconstats": ("samtools_tpu.tools.plot_ampliconstats_cmd",
+                           "main_plot_ampliconstats"),
+    "md5sum-lite": ("samtools_tpu.tools.misc_cmds", "main_md5sum_lite"),
+    "seq_cache_populate": ("samtools_tpu.tools.misc_cmds",
+                           "main_seq_cache_populate"),
 }
 
 
