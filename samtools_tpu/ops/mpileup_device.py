@@ -101,12 +101,14 @@ def _chunk_jit():
                    l_query: int, l_ref: int, bw: int, n_tiles_pad: int,
                    B: int, tile: int, chunk: int, passes: int,
                    min_baseq: int, baq_flag: int):
-        # buf: uint8[C, 4 + 2*l_query] = LE int32 pos | seq codes | qual
-        # (one h2d transfer per chunk instead of three)
+        # buf: uint8[C, 4 + 2*l_query] = LE int32 pos | seq nt16 | qual
+        # (one h2d transfer per chunk instead of three; the nt16->0-4
+        # code mapping runs on device)
         pb = buf[:, :4].astype(jnp.int32)
         pc = pb[:, 0] | (pb[:, 1] << 8) | (pb[:, 2] << 16) \
             | (pb[:, 3] << 24)
-        sq = buf[:, 4:4 + l_query]
+        lut = jnp.asarray(NT16_TO4)
+        sq = lut[buf[:, 4:4 + l_query]]
         qq = buf[:, 4 + l_query:4 + 2 * l_query]
         idx = jnp.minimum(pc, ref_dev.shape[0] - 1)[:, None] \
             + jnp.arange(l_ref)[None, :]
@@ -219,7 +221,7 @@ class DeviceCensusPipeline:
         self.n_reads = 0
         self.n_host_reads = 0
         self.n_risky = 0
-        self._risky_backlog: list = []
+        self._pending = None  # deferred risky masks of the last batch
 
     # ------------------------------------------------------------------
     def add_batch(self, batch, excl_flags: int = DEFAULT_EXCL,
@@ -257,10 +259,20 @@ class DeviceCensusPipeline:
             return
 
         pos = b.pos[dsel].astype(np.int64)
-        seq4 = NT16_TO4[b.seq[
-            (b.seq_off[dsel][:, None] + np.arange(LQ)[None, :])]]
-        qual = b.qual[
-            (b.seq_off[dsel][:, None] + np.arange(LQ)[None, :])]
+        # contiguous uniform selections (the common case) reshape the
+        # flat seq/qual arrays zero-copy; nt16->code mapping happens on
+        # device inside the fused chunk kernel
+        off0 = b.seq_off[dsel]
+        if dsel.size and int(off0[-1]) - int(off0[0]) \
+                == (dsel.size - 1) * LQ \
+                and int(b.seq_off[dsel[-1] + 1]) - int(off0[-1]) == LQ:
+            s0 = int(off0[0])
+            seqm = b.seq[s0:s0 + dsel.size * LQ].reshape(-1, LQ)
+            qual = b.qual[s0:s0 + dsel.size * LQ].reshape(-1, LQ)
+        else:
+            idx2 = off0[:, None] + np.arange(LQ)[None, :]
+            seqm = b.seq[idx2]
+            qual = b.qual[idx2]
 
         chunk_step = _get_chunk_step()
         l_ref = LQ + self.bw // 2
@@ -275,7 +287,7 @@ class DeviceCensusPipeline:
             pc[n:] = self.wlen  # park padding out of every tile
             buf = np.zeros((npad, 4 + 2 * LQ), np.uint8)
             buf[:, :4] = pc.astype("<i4").view(np.uint8).reshape(npad, 4)
-            buf[:n, 4:4 + LQ] = seq4[lo:hi]
+            buf[:n, 4:4 + LQ] = seqm[lo:hi]
             buf[:n, 4 + LQ:] = qual[lo:hi]
             plan = self._plan(pc[:n], n, npad)
             # one fused device launch + one h2d transfer per chunk; the
@@ -288,19 +300,29 @@ class DeviceCensusPipeline:
                 LQ, l_ref, self.bw, plan[3], plan[4], self.tile, 16,
                 plan[5], self.min_baseq, 1 if self.baq_flag else 0)
             risky_parts.append((risky, lo, n))
-        if risky_parts:
-            allr = np.asarray(jnp.concatenate(
-                [r for r, _, _ in risky_parts]))
-            gidx = []
-            for (_, lo, n), off in zip(risky_parts,
-                                       range(0, len(risky_parts) * C, C)):
-                rk = allr[off:off + n]
-                if rk.any():
-                    gidx.append(dsel[lo:lo + n][rk])
-            if gidx:
-                gsel = np.concatenate(gidx)
-                self.n_risky += gsel.size
-                self._host_reads(b, gsel)
+        # drain the PREVIOUS batch's risky masks now: the fetch blocks
+        # until that batch's device work finishes, which overlaps with
+        # this batch's freshly-dispatched chunks
+        prev = self._pending
+        self._pending = (risky_parts, b, dsel, C) if risky_parts else None
+        if prev is not None:
+            self._drain(prev)
+
+    def _drain(self, pending):
+        import jax.numpy as jnp
+        risky_parts, b, dsel, C = pending
+        allr = np.asarray(jnp.concatenate(
+            [r for r, _, _ in risky_parts]))
+        gidx = []
+        for (_, lo, n), off in zip(risky_parts,
+                                   range(0, len(risky_parts) * C, C)):
+            rk = allr[off:off + n]
+            if rk.any():
+                gidx.append(dsel[lo:lo + n][rk])
+        if gidx:
+            gsel = np.concatenate(gidx)
+            self.n_risky += gsel.size
+            self._host_reads(b, gsel)
 
     def _plan(self, pos_n: np.ndarray, n: int, npad: int):
         """Tile slices for one chunk: items are read-major, 100/read."""
@@ -329,7 +351,14 @@ class DeviceCensusPipeline:
         hi = np.zeros(ntp, np.int32)
         lo[:plan.n_tiles] = plan.lo
         hi[:plan.n_tiles] = plan.hi
-        return lo, hi, t0 * tile, ntp, plan.B, plan.passes
+        # fixed item bucket: the natural power-of-two bucket flips with
+        # per-chunk depth variation, recompiling the fused kernel
+        # mid-run; one pinned B (+ extra passes for deep tiles) keeps a
+        # single compiled executable
+        B = 1 << 14
+        width = int((hi - lo).max(initial=1))
+        passes = max(1, -(-width // B))
+        return lo, hi, t0 * tile, ntp, B, passes
 
     def _host_reads(self, b, gsel):
         self.n_host_reads += gsel.size
@@ -358,6 +387,9 @@ class DeviceCensusPipeline:
         device->host link is the pipeline's scarcest resource."""
         import jax
         import jax.numpy as jnp
+        if self._pending is not None:
+            prev, self._pending = self._pending, None
+            self._drain(prev)
 
         @jax.jit
         def _split(c):

@@ -428,6 +428,20 @@ def main_mpileup(argv: list[str]) -> int:
                 got = try_region_read(path, ga.nthreads, reg)
                 if got is not None:
                     loaded, region = got
+            if loaded is None and not reg and path != "-":
+                # BGZF BAMs stream in bounded windows (bam_plcmd.c's
+                # one-record memory profile via bam_plp); stdin and
+                # other formats take the in-memory reader
+                try:
+                    from ..io.stream import BamStream
+                    st = BamStream(path, threads=ga.nthreads or 2)
+                    import types
+                    loaded = types.SimpleNamespace(header=st.header,
+                                                   stream=st, path=path)
+                except OSError:
+                    raise
+                except Exception:
+                    loaded = None
             if loaded is None:
                 loaded = read_alignments(path, threads=ga.nthreads)
             files.append(loaded)
@@ -489,21 +503,23 @@ def _empty_row(name: str, pos: int, ref: bytes | None, ref_len: int,
 
 def _run_pileup(files, paths, header, conf, region, bedidx, fai, out) -> int:
     nf = len(files)
-    # per-file read selection
-    selections = []
-    for f in files:
-        keep = _read_filter(f, conf, bedidx, header)
-        selections.append(keep)
-
-    # determine contig set (in tid order)
-    tids = set()
-    for f, keep in zip(files, selections):
-        tids.update(np.unique(f.batch.tid[keep & (f.batch.tid >= 0)])
-                    .tolist())
-    if region is not None:
-        tids = {region.tid} if region.tid in tids or True else tids
-        tids = {region.tid}
-    tid_list = sorted(tids)
+    streaming = (region is None
+                 and all(getattr(f, "stream", None) is not None
+                         for f in files))
+    selections: list = []
+    tid_list: list = []
+    if not streaming:
+        # per-file read selection over the in-memory batches
+        for f in files:
+            keep = _read_filter(f, conf, bedidx, header)
+            selections.append(keep)
+        tids = set()
+        for f, keep in zip(files, selections):
+            tids.update(np.unique(f.batch.tid[keep & (f.batch.tid >= 0)])
+                        .tolist())
+        if region is not None:
+            tids = {region.tid}
+        tid_list = sorted(tids)
 
     beg0 = region.beg if region else 0
     end0 = region.end if region else (1 << 62)
@@ -532,25 +548,39 @@ def _run_pileup(files, paths, header, conf, region, bedidx, fai, out) -> int:
     w = out.write
     ref, ref_len = None, 0
 
-    for tid in tid_list:
+    def _slurped_windows():
+        for tid in tid_list:
+            subs = []
+            for f, keep in zip(files, selections):
+                b = f.batch
+                sel = np.nonzero(keep & (b.tid == tid))[0]
+                if region is not None and sel.size:
+                    end = b.end_pos()
+                    sel = sel[(b.pos[sel] < region.end)
+                              & (end[sel] > region.beg)]
+                subs.append(b.take(sel))
+            yield tid, None, None, subs
+
+    if streaming:
+        windows = _stream_windows([f.stream for f in files], conf,
+                                  bedidx, header)
+    else:
+        windows = _slurped_windows()
+
+    for tid, wb, we, subs in windows:
         name = header.ref_names[tid]
-        # assemble per-file states for this contig
-        states = []
-        for f, keep in zip(files, selections):
-            b = f.batch
-            sel = np.nonzero(keep & (b.tid == tid))[0]
-            if region is not None and sel.size:
-                end = b.end_pos()
-                sel = sel[(b.pos[sel] < region.end)
-                          & (end[sel] > region.beg)]
-            sub = b.take(sel)
-            states.append(_prepare_file_state(sub, conf, tid, get_ref,
-                                              files, f))
+        # assemble per-file states for this window
+        states = [_prepare_file_state(sub, conf, tid, get_ref, files, f)
+                  for sub, f in zip(subs, files)]
         # merged column positions
         col_sets = [s.p.col_pos for s in states if s.p.n_entries]
         if not col_sets:
             continue
         allpos = np.unique(np.concatenate(col_sets))
+        if wb is not None:
+            # window ownership: halo reads contribute entries outside
+            # [wb, we); those columns belong to neighboring windows
+            allpos = allpos[(allpos >= wb) & (allpos < we)]
         if region is not None:
             allpos = allpos[(allpos >= beg0) & (allpos < end0)]
         if allpos.size == 0:
@@ -622,6 +652,114 @@ def _run_pileup(files, paths, header, conf, region, bedidx, fai, out) -> int:
             if conf["all"] < 2 or region is not None:
                 break
     return 0
+
+
+WINDOW_COLS = 4 << 20  # streamed pileup window (columns per block)
+
+
+class _WindowCursor:
+    """Per-file read cursor for streamed pileup windows.
+
+    Pulls decoded batches on demand, applies the mplp_func record
+    filter, and hands out the window's overlap set: reads with
+    pos < window_end whose footprint can still touch the window
+    (carried halo reads included).  The reference's span-block driver
+    re-queries the index with overlap (bam_consensus.c:2470); a
+    sequential stream achieves the same by carrying boundary reads."""
+
+    def __init__(self, stream, conf, bedidx, header):
+        self.gen = stream.batches()
+        self.conf = conf
+        self.bedidx = bedidx
+        self.header = header
+        self.pending: list = []       # filtered batches, unconsumed
+        self.carry = None             # halo ReadBatch from prior window
+        self.done = False
+
+    def _pull(self):
+        if self.done:
+            return False
+        nb = next(self.gen, None)
+        if nb is None:
+            self.done = True
+            return False
+        import types
+        keep = _read_filter(types.SimpleNamespace(batch=nb), self.conf,
+                            self.bedidx, self.header)
+        sel = np.nonzero(keep)[0]
+        if sel.size:
+            self.pending.append(nb.take(sel))
+        return True
+
+    def front(self):
+        """(tid, pos) of the next unconsumed read, or None at EOF."""
+        while not self.pending:
+            if not self._pull():
+                return None
+        b = self.pending[0]
+        return int(b.tid[0]), int(b.pos[0])
+
+    def window(self, tid: int, wb: int, we: int):
+        """Overlap set for [wb, we) on tid; consumes reads with
+        pos < we, carries those whose end > we for the next window."""
+        parts = []
+        if self.carry is not None:
+            cb, ctid = self.carry
+            if ctid == tid:
+                e = cb.end_pos()
+                parts.append(cb.take(np.nonzero(e > wb)[0]))
+            self.carry = None
+        while True:
+            fr = self.front()
+            if fr is None or fr[0] > tid or (fr[0] == tid
+                                             and fr[1] >= we):
+                break
+            b = self.pending[0]
+            m = (b.tid == tid) & (b.pos < we)
+            take = np.nonzero(m)[0]
+            rest = np.nonzero(~m)[0]
+            parts.append(b.take(take))
+            if rest.size:
+                self.pending[0] = b.take(rest)
+                break
+            self.pending.pop(0)
+        from ..core.batch import ReadBatch
+        sub = (ReadBatch.concat(parts) if len(parts) > 1 else
+               parts[0] if parts else ReadBatch(n=0))
+        if sub.n:
+            e = sub.end_pos()
+            hal = np.nonzero(e > we)[0]
+            if hal.size:
+                self.carry = (sub.take(hal), tid)
+        return sub
+
+    def has_more_on(self, tid: int) -> bool:
+        if self.carry is not None and self.carry[1] == tid:
+            return True
+        fr = self.front()
+        return fr is not None and fr[0] == tid
+
+
+def _stream_windows(streams, conf, bedidx, header):
+    """Merged window iterator over per-file streams: yields
+    (tid, wb, we, subs) blocks in genomic order, bounded memory."""
+    cursors = [_WindowCursor(st, conf, bedidx, header) for st in streams]
+    while True:
+        fronts = [c.front() for c in cursors]
+        live = [f for f in fronts if f is not None]
+        if not live:
+            return
+        tid = min(f[0] for f in live)
+        wb = min(f[1] for f in live if f[0] == tid)
+        while True:
+            we = wb + WINDOW_COLS
+            subs = [c.window(tid, wb, we) for c in cursors]
+            yield tid, wb, we, subs
+            if not any(c.has_more_on(tid) for c in cursors):
+                break
+            nxt = [c.front() for c in cursors]
+            nxt = [f[1] for f in nxt if f is not None and f[0] == tid]
+            wb = we
 
 
 def _prepare_file_state(sub, conf, tid, get_ref, files, f) -> FileState:

@@ -114,3 +114,35 @@ def test_query_on_built_index(tmp_path):
         keep = (batch.pos < 9000) & (end > 4000)
         want = batch.take(np.nonzero(keep)[0])
         _eq(got, want)
+
+
+def test_mpileup_streaming_windows_match_golden():
+    """Streamed windowed mpileup (halo-carried reads, per-window BAQ,
+    overlap tweak) is byte-identical to the golden even when windows
+    are far smaller than a read (span-block correctness seams)."""
+    import contextlib
+    import io
+    import os
+    import samtools_tpu.tools.mpileup_cmd as mp
+    from samtools_tpu.cli import main
+
+    d = "/root/reference/test/mpileup"
+    cwd = os.getcwd()
+    os.chdir(d)
+    old = mp.WINDOW_COLS
+    try:
+        def run():
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                rc = main(["mpileup", "-x", "-f", "mpileup.ref.fa",
+                           "mpileup.1.bam"])
+            assert rc == 0
+            return buf.getvalue()
+
+        golden = open(f"{d}/expected/16.out").read()
+        assert run() == golden
+        mp.WINDOW_COLS = 1 << 6
+        assert run() == golden
+    finally:
+        mp.WINDOW_COLS = old
+        os.chdir(cwd)
