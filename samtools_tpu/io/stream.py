@@ -140,11 +140,19 @@ class BamStream:
             want *= 4
 
     # ------------------------------------------------------------- batches
-    def batches(self, fields: int = 31):
-        """Yield ReadBatch chunks; memory stays O(window_bytes)."""
-        cpos = self._hdr_voffset >> 16
-        skip = self._hdr_voffset & 0xFFFF
+    def batches(self, fields: int = 31, start_voffset: int | None = None):
+        """Yield ReadBatch chunks; memory stays O(window_bytes).
+
+        ``start_voffset``: resume from a record-aligned virtual offset
+        (as reported in ``self.next_record_voffset`` after each yield)
+        — the checkpoint/resume hook: a restarted process re-enters the
+        stream exactly at the first unconsumed record."""
+        voff = (self._hdr_voffset if start_voffset is None
+                else start_voffset)
+        cpos = voff >> 16
+        skip = voff & 0xFFFF
         leftover = np.empty(0, np.uint8)
+        self.next_record_voffset = voff
         while cpos < self._size:
             w = self._inflate_span(cpos, cpos + self.window_bytes)
             if w.coffs.size == 0:
@@ -153,8 +161,21 @@ class BamStream:
             if leftover.size:
                 data = np.concatenate([leftover, data])
             offs, consumed = _scan_partial(data, 0)
+            lsize = leftover.size
             leftover = data[consumed:].copy()
             if offs.size:
+                # virtual offset of the first byte after the consumed
+                # records (record-aligned by construction)
+                rel = consumed - lsize + skip
+                if rel >= w.data.size and w.uoffs.size > 1:
+                    nxt = (int(w.coffs[-1] + w.bsizes[-1])) << 16
+                else:
+                    blk = int(np.searchsorted(w.uoffs, rel,
+                                              "right") - 1)
+                    blk = max(0, min(blk, w.coffs.size - 1))
+                    nxt = (int(w.coffs[blk]) << 16) \
+                        | int(rel - w.uoffs[blk])
+                self.next_record_voffset = nxt
                 yield _decode(data, offs, self.threads, fields)
             cpos = w.cend  # next window starts after the last block
             skip = 0

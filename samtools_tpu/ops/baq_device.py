@@ -56,14 +56,16 @@ def _decode_row(fM_i, bM_i, fI_i, bI_i, i, diag_off, qrow, B: int,
     computed as zsum - max — so the f32 value tracks the f64 host HMM
     to ~1e-4 phred even for confident bases.  A rounding-boundary base
     is flagged risky only when a +-1 flip could change the OUTPUT,
-    i.e. when floor(val) <= q+1 (beyond that the qual cap absorbs it)."""
+    i.e. when floor(val) <= q+1 (beyond that the qual cap absorbs it).
+    All inputs are band-major [W, B]."""
     import jax.numpy as jnp
-    z2 = jnp.stack([fM_i * bM_i, fI_i * bI_i], axis=-1).reshape(B, 2 * W)
-    best = jnp.argmax(z2, axis=-1)
-    mx = jnp.take_along_axis(z2, best[:, None], axis=-1)[:, 0]
-    z2z = z2.at[jnp.arange(B), best].set(0.0)
-    leak = z2z.sum(-1)
-    mx2 = z2z.max(-1)
+    # interleave M/I per band slot: rows [2j]=M_j, [2j+1]=I_j
+    z2 = jnp.stack([fM_i * bM_i, fI_i * bI_i], axis=1).reshape(2 * W, B)
+    best = jnp.argmax(z2, axis=0)
+    mx = jnp.take_along_axis(z2, best[None, :], axis=0)[0]
+    z2z = z2.at[best, jnp.arange(B)].set(0.0)
+    leak = z2z.sum(0)
+    mx2 = z2z.max(0)
     tot = mx + leak
     val = -4.343 * (jnp.log(jnp.maximum(leak, 1e-38))
                     - jnp.log(jnp.maximum(tot, 1e-38))) + 0.499
@@ -109,7 +111,11 @@ def _probaln_batch(ref_win, query, qual, diag_off, l_query: int,
     B = ref_win.shape[0]
     W = 2 * bw + 1
 
-    qln = jnp.power(f32(10.0), -qual.astype(f32) / 10.0)   # [B, LQ]
+    # Band-on-sublanes layout: every DP array is [W, B] so the batch
+    # axis rides the 128-wide vector lanes; [B, W] would pad the
+    # 15-wide band axis to 128 lanes and waste 8/9 of the VPU.
+    queryT = query.T                                       # [LQ, B]
+    qlnT = jnp.power(f32(10.0), -qual.T.astype(f32) / 10.0)  # [LQ, B]
     sM = 1.0 / (2 * l_query + 2)
     m0 = (1 - 2 * PD) * (1 - sM)
     m1 = m2 = PD * (1 - sM)
@@ -120,13 +126,13 @@ def _probaln_batch(ref_win, query, qual, diag_off, l_query: int,
     bM = (1 - PD) / l_ref
     bI = PD / l_ref
 
-    TL = _toeplitz(W, m8, lower=True, dtype=f32)    # forward D chain
-    TU = _toeplitz(W, m8, lower=False, dtype=f32)   # backward D chain
+    TLt = _toeplitz(W, m8, lower=True, dtype=f32).T   # forward D chain
+    TUt = _toeplitz(W, m8, lower=False, dtype=f32).T  # backward D chain
 
-    # ref padded so a dynamic slice of width W at offset i-1 yields
+    # ref transposed + padded so a W-row slice starting at row i yields
     # ref[i+j-bw-1] for j in [0, W) (code 15 > 3 == ambiguous; every
     # out-of-band j is masked before use)
-    refp = jnp.pad(ref_win, ((0, 0), (bw + 1, bw + 1)),
+    refp = jnp.pad(ref_win.T, ((bw + 1, bw + 1), (0, 0)),
                    constant_values=15)
 
     js = jnp.arange(W, dtype=jnp.int32)
@@ -134,15 +140,14 @@ def _probaln_batch(ref_win, query, qual, diag_off, l_query: int,
     def band_mask(i):
         # valid k = i + j - bw in [max(1, i-bw), min(l_ref, i+bw)]
         k = i + js - bw
-        return (k >= jnp.maximum(1, i - bw)) & (k <= jnp.minimum(
-            l_ref, i + bw))
+        return ((k >= jnp.maximum(1, i - bw))
+                & (k <= jnp.minimum(l_ref, i + bw)))[:, None]
 
     def emis(i, qrow, qlrow):
-        """e(ref[k-1], query[i-1]) for band j (forward row i)."""
-        rslice = jax.lax.dynamic_slice(refp, (0, i - 1 + bw + 1 - bw),
-                                       (B, W))  # ref[i+j-bw-1]
-        q = qrow[:, None]
-        ql = qlrow[:, None]
+        """e(ref[k-1], query[i-1]) for band j (forward row i): [W, B]."""
+        rslice = jax.lax.dynamic_slice(refp, (i, 0), (W, B))
+        q = qrow[None, :]
+        ql = qlrow[None, :]
         amb = (rslice > 3) | (q > 3)
         return jnp.where(amb, f32(1.0),
                          jnp.where(rslice == q, 1.0 - ql, ql * EM))
@@ -150,14 +155,14 @@ def _probaln_batch(ref_win, query, qual, diag_off, l_query: int,
     # ---------------- forward ----------------
     def fwd_row1():
         i = 1
-        e = emis(i, query[:, 0], qln[:, 0])
+        e = emis(i, queryT[0], qlnT[0])
         # C row 1: k in [1, min(l_ref, bw+1)] -> j in [bw, min(2bw, ...)]
         k = i + js - bw
-        mask = (k >= 1) & (k <= min(l_ref, bw + 1))
+        mask = ((k >= 1) & (k <= min(l_ref, bw + 1)))[:, None]
         fM = jnp.where(mask, e * bM, 0.0)
         fI = jnp.where(mask, f32(EI * bI), 0.0)
-        s = (fM + fI).sum(-1)
-        return fM / s[:, None], fI / s[:, None], jnp.zeros_like(fM), s
+        s = (fM + fI).sum(0)
+        return fM / s[None, :], fI / s[None, :], jnp.zeros_like(fM), s
 
     fM1, fI1, fD1, s1 = fwd_row1()
 
@@ -168,32 +173,31 @@ def _probaln_batch(ref_win, query, qual, diag_off, l_query: int,
         mask = band_mask(i)
         # v11 -> prev j ; v10 -> prev j+1 (one zero pad slot, as in the
         # C array's trailing padding)
-        pMs = jnp.pad(pM, ((0, 0), (0, 1)))[:, 1:]
-        pIs = jnp.pad(pI, ((0, 0), (0, 1)))[:, 1:]
+        pMs = jnp.pad(pM, ((0, 1), (0, 0)))[1:]
+        pIs = jnp.pad(pI, ((0, 1), (0, 0)))[1:]
         fM = e * (m0 * pM + m3 * pI + m6 * pD)
         fI = EI * (m1 * pMs + m4 * pIs)
         fM = jnp.where(mask, fM, 0.0)
         fI = jnp.where(mask, fI, 0.0)
         # D chain: D[j] = m2*M[j-1] + m8*D[j-1]; the j=0 slot reads the
         # set_u-clamped alias of its own M (C reads fi[0*3] which holds
-        # this row's just-written fM at j=0)
-        Mshift = jnp.concatenate([fM[:, :1], fM[:, :-1]], axis=1)
-        # HIGHEST precision: the default f32 matmul feeds the MXU with
-        # bf16 inputs (~1e-3 relative), which leaks into the posterior
-        # decode; three-pass bf16 restores ~f32 accuracy
-        fD = jnp.matmul(m2 * Mshift, TL,
+        # this row's just-written fM at j=0).  HIGHEST precision: the
+        # default f32 matmul feeds the MXU bf16 inputs (~1e-3
+        # relative), which leaks into the posterior decode.
+        Mshift = jnp.concatenate([fM[:1], fM[:-1]], axis=0)
+        fD = jnp.matmul(TLt, m2 * Mshift,
                         precision=jax.lax.Precision.HIGHEST)
         fD = jnp.where(mask, fD, 0.0)
-        s = (fM + fI + fD).sum(-1)
-        inv = 1.0 / s[:, None]
+        s = (fM + fI + fD).sum(0)
+        inv = (1.0 / s)[None, :]
         fM, fI, fD = fM * inv, fI * inv, fD * inv
         return (fM, fI, fD), (fM, fI, s)
 
     rows = jnp.arange(2, l_query + 1, dtype=jnp.int32)
     (_, _, _), (fMs, fIs, ss) = jax.lax.scan(
         fwd_step, (fM1, fI1, fD1),
-        (rows, query[:, 1:].T, qln[:, 1:].T))
-    # stack row 1 in front: fMs [LQ, B, W]
+        (rows, queryT[1:], qlnT[1:]))
+    # stack row 1 in front: fMs [LQ, W, B]
     fMs = jnp.concatenate([fM1[None], fMs], axis=0)
     fIs = jnp.concatenate([fI1[None], fIs], axis=0)
     s_all = jnp.concatenate([s1[None], ss], axis=0)     # [LQ, B]
@@ -201,40 +205,41 @@ def _probaln_batch(ref_win, query, qual, diag_off, l_query: int,
     # s[l_query+1]: sum over k with the u-bounds quirk (j in [1, 2bw])
     i = l_query
     k = i + js - bw
-    mask_end = (k >= 1) & (k <= l_ref) & (js >= 1) & (js <= 2 * bw)
-    s_end = ((fMs[-1] * sM + fIs[-1] * sM) * mask_end[None, :]).sum(-1)
+    mask_end = ((k >= 1) & (k <= l_ref) & (js >= 1)
+                & (js <= 2 * bw))[:, None]
+    s_end = ((fMs[-1] * sM + fIs[-1] * sM) * mask_end).sum(0)
 
     # ---------------- backward + decode ----------------
-    bM_init = jnp.where(mask_end[None, :],
-                        sM / s_all[-1][:, None] / s_end[:, None], 0.0)
+    bM_init = jnp.where(mask_end,
+                        sM / s_all[-1][None, :] / s_end[None, :], 0.0)
     bI_init = bM_init
 
     def bwd_step(carry, xs):
         nM, nI, nD = carry      # b rows at i+1, already scaled by 1/s[i+1]
         i, fM_i, fI_i, s_i = xs
         # emission of row i+1 at ref[k] (0-based), zero where k >= l_ref
-        rslice = jax.lax.dynamic_slice(refp, (0, i + 1), (B, W))
-        q1 = query[:, :].T[jnp.minimum(i, l_query - 1)]  # query[i] (0-based)
-        ql1 = qln.T[jnp.minimum(i, l_query - 1)]
-        amb = (rslice > 3) | (q1[:, None] > 3)
+        rslice = jax.lax.dynamic_slice(refp, (i + 1, 0), (W, B))
+        q1 = queryT[jnp.minimum(i, l_query - 1)]  # query[i] (0-based)
+        ql1 = qlnT[jnp.minimum(i, l_query - 1)]
+        amb = (rslice > 3) | (q1[None, :] > 3)
         e1 = jnp.where(amb, f32(1.0),
-                       jnp.where(rslice == q1[:, None], 1.0 - ql1[:, None],
-                                 ql1[:, None] * EM))
+                       jnp.where(rslice == q1[None, :],
+                                 1.0 - ql1[None, :], ql1[None, :] * EM))
         k = i + js - bw
-        e1 = jnp.where(k[None, :] >= l_ref, 0.0, e1)
+        e1 = jnp.where((k >= l_ref)[:, None], 0.0, e1)
         ee = e1 * nM                        # e * b_{i+1}[v11]
         # v10+1: next-row I at j-1, set_u clamped to j=0 at the left edge
-        nIs = jnp.concatenate([nI[:, :1], nI[:, :-1]], axis=1)
-        bD = jnp.matmul(ee * m6, TU,        # D[j] = ee*m6 + m8*D[j+1]
+        nIs = jnp.concatenate([nI[:1], nI[:-1]], axis=0)
+        bD = jnp.matmul(TUt, ee * m6,       # D[j] = ee*m6 + m8*D[j+1]
                         precision=jax.lax.Precision.HIGHEST)
-        bDs = jnp.pad(bD, ((0, 0), (0, 1)))[:, 1:]   # D[j+1], zero pad
+        bDs = jnp.pad(bD, ((0, 1), (0, 0)))[1:]      # D[j+1], zero pad
         bMr = ee * m0 + EI * m1 * nIs + m2 * bDs
         bIr = ee * m3 + EI * m4 * nIs
         mask = band_mask(i)
         bMr = jnp.where(mask, bMr, 0.0)
         bIr = jnp.where(mask, bIr, 0.0)
         bD = jnp.where(mask, bD, 0.0)
-        inv = 1.0 / s_i[:, None]
+        inv = (1.0 / s_i)[None, :]
         bMr, bIr, bD = bMr * inv, bIr * inv, bD * inv
 
         # decode row i with stored f and fresh b

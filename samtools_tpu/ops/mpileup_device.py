@@ -107,8 +107,14 @@ def _chunk_jit():
         pb = buf[:, :4].astype(jnp.int32)
         pc = pb[:, 0] | (pb[:, 1] << 8) | (pb[:, 2] << 16) \
             | (pb[:, 3] << 24)
-        lut = jnp.asarray(NT16_TO4)
-        sq = lut[buf[:, 4:4 + l_query]]
+        nt16 = buf[:, 4:4 + l_query]
+        # nt16 -> 0-4 codes arithmetically (a table gather lowers to
+        # slow scalar loads on TPU)
+        sq = jnp.where(nt16 == 1, 0,
+                       jnp.where(nt16 == 2, 1,
+                                 jnp.where(nt16 == 4, 2,
+                                           jnp.where(nt16 == 8, 3, 4)))
+                       ).astype(jnp.uint8)
         qq = buf[:, 4 + l_query:4 + 2 * l_query]
         idx = jnp.minimum(pc, ref_dev.shape[0] - 1)[:, None] \
             + jnp.arange(l_ref)[None, :]

@@ -7,6 +7,8 @@ logic (:610-660, :880-910), extra output columns (:727-855).
 
 from __future__ import annotations
 
+import json
+import os
 import sys
 
 import numpy as np
@@ -268,7 +270,7 @@ def main_mpileup(argv: list[str]) -> int:
         min_mq=0, min_baseQ=13, capQ_thres=0, max_depth=8000,
         rflag_require=0, rflag_filter=DEFAULT_FF,
         no_orphan=True, realn=True, smart_overlaps=True, redo_baq=False,
-        illumina13=False, ignore_rg=False, all=0, rev_del=0,
+        illumina13=False, ignore_rg=False, all=0, rev_del=0, checkpoint=None,
         sep=",", empty="*", no_ins=0, no_ins_mods=0, no_del=0, no_ends=0,
         flag_cols=0, auxtags=[], rghash=None,
     )
@@ -290,6 +292,7 @@ def main_mpileup(argv: list[str]) -> int:
         "output-mq", "customized-index", "reverse-del", "output-extra=",
         "output-sep=", "output-empty=", "no-output-ins",
         "no-output-ins-mods", "no-output-del", "no-output-ends",
+        "checkpoint=",
     ]
     try:
         opts, args = gnu_getopt(argv, "Af:r:l:q:Q:RC:Bd:b:o:EG:6OsxXaM",
@@ -305,6 +308,8 @@ def main_mpileup(argv: list[str]) -> int:
             conf["rflag_require"] = str2flag(v)
         elif o in ("--ff", "--excl-flags"):
             conf["rflag_filter"] = str2flag(v)
+        elif o == "--checkpoint":
+            conf["checkpoint"] = v
         elif o in ("-o", "--output"):
             out_fname = v
         elif o in ("--output-QNAME", "--output-qname"):
@@ -464,7 +469,22 @@ def main_mpileup(argv: list[str]) -> int:
             sys.stderr.write(f"[E::mpileup] fail to parse region '{reg}'\n")
             return 1
 
-    out = open(out_fname, "w") if out_fname else sys.stdout
+    ck_state = None
+    if conf.get("checkpoint"):
+        if not out_fname:
+            sys.stderr.write("[mpileup] --checkpoint requires -o FILE;"
+                             " ignoring\n")
+            conf["checkpoint"] = None
+        else:
+            ck_state = _load_checkpoint(conf["checkpoint"], args)
+    if ck_state and out_fname and os.path.exists(out_fname):
+        out = open(out_fname, "r+")
+        out.truncate(ck_state["out_off"])
+        out.seek(ck_state["out_off"])
+        conf["_ck_state"] = ck_state
+    else:
+        conf["_ck_state"] = None
+        out = open(out_fname, "w") if out_fname else sys.stdout
     rc = _run_pileup(files, args, header, conf, region, bedidx, fai, out)
     if out is not sys.stdout:
         out.close()
@@ -499,6 +519,31 @@ def _empty_row(name: str, pos: int, ref: bytes | None, ref_len: int,
     cols.extend("\t*" for _ in conf["auxtags"])
     percol = "\t0\t*\t*" + "".join(cols)
     return f"{name}\t{pos + 1}\t{refc}" + percol * nf + "\n"
+
+
+def _checkpoint_sig(paths):
+    sig = []
+    for p in paths:
+        try:
+            sig.append([p, os.path.getsize(p)])
+        except OSError:
+            sig.append([p, -1])
+    return sig
+
+
+def _load_checkpoint(path, paths):
+    """Load and validate a checkpoint written by a previous run over the
+    same inputs (region-shard restart, SURVEY §5: each window's output
+    is independent, so the file truncates to the last complete window
+    and the stream re-enters at the saved record voffsets)."""
+    try:
+        with open(path) as fh:
+            st = json.load(fh)
+    except (OSError, ValueError):
+        return None
+    if st.get("sig") != _checkpoint_sig(paths):
+        return None
+    return st
 
 
 def _run_pileup(files, paths, header, conf, region, bedidx, fai, out) -> int:
@@ -561,9 +606,26 @@ def _run_pileup(files, paths, header, conf, region, bedidx, fai, out) -> int:
                 subs.append(b.take(sel))
             yield tid, None, None, subs
 
+    ck_path = conf.get("checkpoint") if streaming else None
+    ck_state = conf.get("_ck_state")
+    cursors = None
+    resume = None
     if streaming:
+        if ck_state:
+            cursors = [_WindowCursor(f.stream, conf, bedidx, header,
+                                     start_voffset=v,
+                                     purge_before=(ck_state["tid"],
+                                                   ck_state["wb"]))
+                       for f, v in zip(files, ck_state["voffs"])]
+            resume = (ck_state["tid"], ck_state["wb"])
+            last_tid = ck_state["last_tid"]
+            last_pos = ck_state["last_pos"]
+        elif ck_path:
+            cursors = [_WindowCursor(f.stream, conf, bedidx, header)
+                       for f in files]
         windows = _stream_windows([f.stream for f in files], conf,
-                                  bedidx, header)
+                                  bedidx, header, cursors=cursors,
+                                  resume=resume)
     else:
         windows = _slurped_windows()
 
@@ -627,6 +689,15 @@ def _run_pileup(files, paths, header, conf, region, bedidx, fai, out) -> int:
                 _append_file_column(row, s, pos, conf, header)
             row.append("\n")
             w("".join(row))
+        if ck_path and cursors is not None and wb is not None:
+            out.flush()
+            st = {"sig": _checkpoint_sig(paths), "tid": tid, "wb": we,
+                  "voffs": [c.checkpoint_voffset() for c in cursors],
+                  "last_tid": last_tid, "last_pos": last_pos,
+                  "out_off": out.tell()}
+            with open(ck_path + ".tmp", "w") as fh:
+                json.dump(st, fh)
+            os.replace(ck_path + ".tmp", ck_path)
 
     # -a tail
     if conf["all"]:
@@ -667,18 +738,24 @@ class _WindowCursor:
     re-queries the index with overlap (bam_consensus.c:2470); a
     sequential stream achieves the same by carrying boundary reads."""
 
-    def __init__(self, stream, conf, bedidx, header):
-        self.gen = stream.batches()
+    def __init__(self, stream, conf, bedidx, header,
+                 start_voffset: int | None = None, purge_before=None):
+        self.stream = stream
+        self.gen = stream.batches(start_voffset=start_voffset)
         self.conf = conf
         self.bedidx = bedidx
         self.header = header
-        self.pending: list = []       # filtered batches, unconsumed
+        self.pending: list = []       # (filtered batch, origin voffset)
         self.carry = None             # halo ReadBatch from prior window
+        self.carry_voff = None
         self.done = False
+        self.purge_before = purge_before  # (tid, wb) on resume
 
     def _pull(self):
         if self.done:
             return False
+        origin = getattr(self.stream, "next_record_voffset",
+                         self.stream._hdr_voffset)
         nb = next(self.gen, None)
         if nb is None:
             self.done = True
@@ -686,9 +763,15 @@ class _WindowCursor:
         import types
         keep = _read_filter(types.SimpleNamespace(batch=nb), self.conf,
                             self.bedidx, self.header)
+        if self.purge_before is not None:
+            # checkpoint restart: reads wholly before the resume window
+            # were already emitted by the previous run
+            rtid, rwb = self.purge_before
+            end = nb.end_pos()
+            keep &= (nb.tid > rtid) | ((nb.tid == rtid) & (end > rwb))
         sel = np.nonzero(keep)[0]
         if sel.size:
-            self.pending.append(nb.take(sel))
+            self.pending.append((nb.take(sel), origin))
         return True
 
     def front(self):
@@ -696,31 +779,49 @@ class _WindowCursor:
         while not self.pending:
             if not self._pull():
                 return None
-        b = self.pending[0]
+        b = self.pending[0][0]
         return int(b.tid[0]), int(b.pos[0])
+
+    def checkpoint_voffset(self) -> int:
+        """A record voffset from which re-streaming rebuilds every read
+        this cursor still holds (pending + carried halo)."""
+        cands = []
+        if self.carry is not None and self.carry_voff is not None:
+            cands.append(self.carry_voff)
+        if self.pending:
+            cands.append(self.pending[0][1])
+        if not cands:
+            cands.append(getattr(self.stream, "next_record_voffset",
+                                 self.stream._hdr_voffset))
+        return min(cands)
 
     def window(self, tid: int, wb: int, we: int):
         """Overlap set for [wb, we) on tid; consumes reads with
         pos < we, carries those whose end > we for the next window."""
         parts = []
+        voffs = []
         if self.carry is not None:
             cb, ctid = self.carry
             if ctid == tid:
                 e = cb.end_pos()
                 parts.append(cb.take(np.nonzero(e > wb)[0]))
+                if self.carry_voff is not None:
+                    voffs.append(self.carry_voff)
             self.carry = None
+            self.carry_voff = None
         while True:
             fr = self.front()
             if fr is None or fr[0] > tid or (fr[0] == tid
                                              and fr[1] >= we):
                 break
-            b = self.pending[0]
+            b, origin = self.pending[0]
             m = (b.tid == tid) & (b.pos < we)
             take = np.nonzero(m)[0]
             rest = np.nonzero(~m)[0]
             parts.append(b.take(take))
+            voffs.append(origin)
             if rest.size:
-                self.pending[0] = b.take(rest)
+                self.pending[0] = (b.take(rest), origin)
                 break
             self.pending.pop(0)
         from ..core.batch import ReadBatch
@@ -731,6 +832,7 @@ class _WindowCursor:
             hal = np.nonzero(e > we)[0]
             if hal.size:
                 self.carry = (sub.take(hal), tid)
+                self.carry_voff = min(voffs) if voffs else None
         return sub
 
     def has_more_on(self, tid: int) -> bool:
@@ -740,25 +842,38 @@ class _WindowCursor:
         return fr is not None and fr[0] == tid
 
 
-def _stream_windows(streams, conf, bedidx, header):
+def _stream_windows(streams, conf, bedidx, header, cursors=None,
+                    resume=None):
     """Merged window iterator over per-file streams: yields
-    (tid, wb, we, subs) blocks in genomic order, bounded memory."""
-    cursors = [_WindowCursor(st, conf, bedidx, header) for st in streams]
+    (tid, wb, we, subs) blocks in genomic order, bounded memory.
+
+    resume=(tid, wb): force the first window there (checkpoint restart
+    — the cursors were reopened at their saved record voffsets, so the
+    overlap set of that window rebuilds exactly; columns before wb are
+    excluded by window ownership)."""
+    if cursors is None:
+        cursors = [_WindowCursor(st, conf, bedidx, header)
+                   for st in streams]
+    forced = resume
     while True:
         fronts = [c.front() for c in cursors]
         live = [f for f in fronts if f is not None]
-        if not live:
+        if not live and forced is None:
             return
-        tid = min(f[0] for f in live)
-        wb = min(f[1] for f in live if f[0] == tid)
+        if forced is not None:
+            tid, wb = forced
+            forced = None
+            if not live:
+                return
+        else:
+            tid = min(f[0] for f in live)
+            wb = min(f[1] for f in live if f[0] == tid)
         while True:
             we = wb + WINDOW_COLS
             subs = [c.window(tid, wb, we) for c in cursors]
             yield tid, wb, we, subs
             if not any(c.has_more_on(tid) for c in cursors):
                 break
-            nxt = [c.front() for c in cursors]
-            nxt = [f[1] for f in nxt if f is not None and f[0] == tid]
             wb = we
 
 

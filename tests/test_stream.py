@@ -146,3 +146,51 @@ def test_mpileup_streaming_windows_match_golden():
     finally:
         mp.WINDOW_COLS = old
         os.chdir(cwd)
+
+
+def test_mpileup_checkpoint_resume(tmp_path):
+    """Kill-and-restart: a resumed run (truncated output + saved window
+    state) reproduces the uninterrupted output byte-for-byte."""
+    import json
+    import os
+    import samtools_tpu.tools.mpileup_cmd as mp
+    from samtools_tpu.cli import main
+
+    d = "/root/reference/test/mpileup"
+    cwd = os.getcwd()
+    os.chdir(d)
+    old = mp.WINDOW_COLS
+    mp.WINDOW_COLS = 1 << 9
+    try:
+        full = str(tmp_path / "full.out")
+        assert main(["mpileup", "-x", "mpileup.1.bam", "-o", full]) == 0
+        truth = open(full).read()
+        ck = str(tmp_path / "mp.ck")
+        out = str(tmp_path / "ck.out")
+        states = []
+        orig = os.replace
+
+        def spy(a, b):
+            orig(a, b)
+            if b == ck:
+                states.append(json.load(open(ck)))
+        os.replace = spy
+        try:
+            assert main(["mpileup", "-x", "mpileup.1.bam", "-o", out,
+                         "--checkpoint", ck]) == 0
+        finally:
+            os.replace = orig
+        assert open(out).read() == truth
+        assert len(states) >= 3
+        mid = states[len(states) // 2]
+        json.dump(mid, open(ck, "w"))
+        with open(out, "r+") as f:
+            f.truncate(mid["out_off"])
+            f.seek(mid["out_off"])
+            f.write("PARTIAL###")  # crash mid-line
+        assert main(["mpileup", "-x", "mpileup.1.bam", "-o", out,
+                     "--checkpoint", ck]) == 0
+        assert open(out).read() == truth
+    finally:
+        mp.WINDOW_COLS = old
+        os.chdir(cwd)
