@@ -397,13 +397,96 @@ def _apply_baq_native(sub, ref_int: np.ndarray, flag: int):
     import os
     threads = int(os.environ.get("SAMTPU_THREADS", "2"))
     from ..core import metrics
-    with metrics.stage("native.baq", sub.n, "reads"):
-        out, _ = native.baq_batch(sub.pos, sub.cigar, sub.cigar_off,
-                                  sub.seq, sub.qual, sub.seq_off,
-                                  np.ascontiguousarray(ref_int, np.uint8),
-                                  flag=3, threads=threads)
-    sub.qual[:] = out
+
+    done = np.zeros(sub.n, bool)
+    _apply_baq_device(sub, ref_int, done)
+    rest = np.nonzero(~done)[0]
+    if rest.size:
+        with metrics.stage("native.baq", rest.size, "reads"):
+            out, _ = native.baq_batch(
+                sub.pos[rest], _gather_cigar(sub, rest),
+                _cigar_off_of(sub, rest),
+                sub.seq[_ragged_idx(sub, rest)],
+                sub.qual[_ragged_idx(sub, rest)],
+                _seq_off_of(sub, rest),
+                np.ascontiguousarray(ref_int, np.uint8),
+                flag=3, threads=threads)
+            off = _seq_off_of(sub, rest)
+            idx = _ragged_idx(sub, rest)
+            sub.qual[idx] = out
+            del off
     return True
+
+
+def _ragged_idx(sub, rows):
+    from ..core.batch import ragged_gather_indices
+    lens = sub.seq_off[rows + 1] - sub.seq_off[rows]
+    return ragged_gather_indices(sub.seq_off[rows], lens)
+
+
+def _seq_off_of(sub, rows):
+    lens = sub.seq_off[rows + 1] - sub.seq_off[rows]
+    off = np.zeros(rows.size + 1, np.int64)
+    np.cumsum(lens, out=off[1:])
+    return off
+
+
+def _cigar_off_of(sub, rows):
+    lens = sub.cigar_off[rows + 1] - sub.cigar_off[rows]
+    off = np.zeros(rows.size + 1, np.int64)
+    np.cumsum(lens, out=off[1:])
+    return off
+
+
+def _gather_cigar(sub, rows):
+    from ..core.batch import ragged_gather_indices
+    lens = sub.cigar_off[rows + 1] - sub.cigar_off[rows]
+    return sub.cigar[ragged_gather_indices(sub.cigar_off[rows], lens)]
+
+
+def _apply_baq_device(sub, ref_int: np.ndarray, done: np.ndarray) -> None:
+    """Route uniform all-M length groups through the device pair-HMM
+    (ops.baq_device); rounding-risky reads stay for the host pass.
+    Marks handled reads in ``done``."""
+    from ..engine import use_device
+    total_bases = int(sub.seq_off[-1])
+    if not use_device(total_bases):
+        return
+    try:
+        from . import baq_device
+    except Exception:
+        return
+    n1 = (sub.cigar_off[1:] - sub.cigar_off[:-1]) == 1
+    op0 = np.zeros(sub.n, np.uint32)
+    op0[n1] = sub.cigar[sub.cigar_off[:-1][n1]]
+    lens = sub.seq_off[1:] - sub.seq_off[:-1]
+    q0ok = sub.qual[np.minimum(sub.seq_off[:-1], sub.seq_off[-1] - 1)] \
+        != 0xFF if sub.seq_off[-1] else np.zeros(sub.n, bool)
+    for L in np.unique(lens[n1]):
+        L = int(L)
+        if L < 8:
+            continue
+        grp = np.nonzero(n1 & (lens == L)
+                         & (op0 == np.uint32(L << 4))
+                         & (sub.pos >= 0)
+                         & (sub.pos + L + 3 <= ref_int.size) & q0ok)[0]
+        if grp.size < 2048:
+            continue
+        base = sub.seq_off[grp]
+        seq4 = NT16_INT[sub.seq[base[:, None]
+                                + np.arange(L)[None, :]]].astype(np.uint8)
+        qual = sub.qual[base[:, None] + np.arange(L)[None, :]]
+        from ..core import metrics
+        with metrics.stage("device.baq", grp.size, "reads"):
+            out, risky = baq_device.baq_apply_device(
+                np.ascontiguousarray(ref_int, np.uint8),
+                sub.pos[grp].astype(np.int64), seq4, qual, L)
+        ok = ~risky
+        rows = grp[ok]
+        if rows.size:
+            idx = base[ok][:, None] + np.arange(L)[None, :]
+            sub.qual[idx.ravel()] = out[ok].ravel()
+            done[rows] = True
 
 
 def cap_mapq_batch(sub, ref: bytes, ref_len: int, thres: int) -> np.ndarray:

@@ -105,3 +105,29 @@ def test_device_census_pipeline_matches_native(tmp_path):
     assert pipe.n_reads == nrec
     assert np.array_equal(co, cb.astype(np.int64))
     assert np.array_equal(qo, qb)
+
+
+def test_mpileup_device_baq_matches_host(tmp_path):
+    """The mpileup tool's device pair-HMM route (forced via
+    SAMTPU_DEVICE=1) is byte-identical to the host f64 path on a
+    simulated reference+reads workload."""
+    from samtools_tpu.sim import (make_header, simulate_batch,
+                                  simulate_reference)
+    from samtools_tpu.io.bam import write_bam
+    REF_LEN = 1 << 16
+    ref = simulate_reference(REF_LEN, seed=3)
+    b = simulate_batch(ref_len=REF_LEN, coverage=6.0, read_len=100,
+                       seed=5, paired=False, err_rate=0.01, ref=ref)
+    bam = str(tmp_path / "dv.bam")
+    fa = str(tmp_path / "dv.fa")
+    write_bam(bam, make_header(REF_LEN), b, threads=1)
+    with open(fa, "w") as f:
+        f.write(">sim1\n")
+        s = ref.tobytes().decode()
+        for i in range(0, len(s), 60):
+            f.write(s[i:i + 60] + "\n")
+    host = run_cli(["mpileup", "-x", "-f", fa, bam],
+                   {"SAMTPU_DEVICE": "0"})
+    dev = run_cli(["mpileup", "-x", "-f", fa, bam],
+                  {"SAMTPU_DEVICE": "1", "JAX_PLATFORMS": "cpu"})
+    assert host == dev and host
