@@ -105,6 +105,80 @@ def _load_lines_set(path: str) -> set:
         return {line.rstrip("\r\n") for line in f if line.rstrip("\r\n")}
 
 
+def _stream_view(stream, f, header, args, ga, fn_out, fn_counts,
+                 is_count, is_header, is_header_only, out_fmt_flag,
+                 compress_level, add_flag, remove_flag, keep_tags,
+                 remove_tags) -> int:
+    """Bounded-memory filter pipeline: decode window -> keep mask ->
+    transforms -> incremental writer (sam_view.c:772 stream_view)."""
+    import types
+    from ..io.files import StreamingWriter
+
+    out_fmt = infer_output_format(fn_out, ga.out_fmt or out_fmt_flag,
+                                  "sam")
+    level = compress_level if compress_level >= 0 else \
+        int(ga.out_opts.get("level", 6))
+    include_header = is_header if out_fmt in ("sam", "sam.gz") else True
+
+    writer = None
+    total = 0
+    try:
+        if not is_count:
+            if out_fmt not in ("bam", "sam", "sam.gz"):
+                # CRAM output needs the whole batch today
+                raise _StreamFallback()
+            writer = StreamingWriter(fn_out, header, out_fmt,
+                                     threads=ga.nthreads, level=level,
+                                     include_header=include_header)
+            if is_header_only:
+                writer.close()
+                return 0
+        elif is_header_only:
+            pass
+        for wb in stream.batches():
+            fw = types.SimpleNamespace(batch=wb, header=header)
+            keep = build_keep_mask(fw, args, ga)
+            total += int(keep.sum())
+            if writer is not None:
+                ob = wb.take(np.nonzero(keep)[0])
+                _apply_transforms(ob, args, add_flag, remove_flag,
+                                  keep_tags, remove_tags)
+                writer.write_batch(ob)
+    except _StreamFallback:
+        # reload in memory through the generic path
+        from ..io.files import read_alignments, write_alignments
+        g = read_alignments(stream.path, threads=ga.nthreads,
+                            reference=ga.reference)
+        keep = build_keep_mask(g, args, ga)
+        ob = g.batch.take(np.nonzero(keep)[0])
+        _apply_transforms(ob, args, add_flag, remove_flag, keep_tags,
+                          remove_tags)
+        write_alignments(fn_out, header, ob, fmt=out_fmt,
+                         threads=ga.nthreads, level=level,
+                         include_header=include_header,
+                         reference=ga.reference)
+        total = ob.n
+    finally:
+        if writer is not None:
+            writer.close()
+        stream.close()
+    if is_count:
+        line = str(total) + "\n"
+        if fn_out:
+            with open(fn_out, "wt") as fh:
+                fh.write(line)
+        else:
+            sys.stdout.write(line)
+    if fn_counts:
+        with open(fn_counts, "wt") as fh:
+            fh.write(str(total) + "\n")
+    return 0
+
+
+class _StreamFallback(Exception):
+    pass
+
+
 def build_keep_mask(f, args, ga) -> np.ndarray:
     """Vectorized process_aln over the whole batch."""
     b = f.batch
@@ -401,6 +475,28 @@ def main_view(argv: list[str]) -> int:
             got = try_region_read(fn_in, ga.nthreads, region_args[0])
             if got is not None:
                 f, _ = got
+        stream = None
+        if (f is None and not region_args and region_file_regs is None
+                and not fetch_pairs and not unmap and not fn_un_out
+                and not (args["bed"] is not None and args["multi_region"])
+                and not ga.write_index and fn_in != "-"):
+            # default filter pipeline: stream in bounded windows
+            # (stream_view, sam_view.c:772) when nothing needs the
+            # whole file at once
+            try:
+                from ..io.stream import BamStream
+                import types
+                st = BamStream(fn_in, threads=ga.nthreads or 2)
+                stream = st
+                f = types.SimpleNamespace(header=st.header, batch=None)
+            except OSError as e:
+                print_error_errno("view",
+                                  'failed to open "%s" for reading',
+                                  fn_in, exc=e)
+                return 1
+            except Exception:
+                stream = None
+                f = None
         if f is None:
             f = read_alignments(fn_in, threads=ga.nthreads,
                                 reference=ga.reference)
@@ -431,6 +527,12 @@ def main_view(argv: list[str]) -> int:
         cl = "samtools view " + " ".join(argv) if argv else "samtools view"
         header = header.add_pg_line("samtools", "samtools", cl,
                                     SAMTOOLS_PARITY_VERSION)
+
+    if stream is not None:
+        return _stream_view(stream, f, header, args, ga, fn_out,
+                            fn_counts, is_count, is_header,
+                            is_header_only, out_fmt_flag, compress_level,
+                            add_flag, remove_flag, keep_tags, remove_tags)
 
     b = f.batch
     sel = np.ones(b.n, bool)
