@@ -206,7 +206,7 @@ class DeviceCensusPipeline:
 
     def __init__(self, ref_int: np.ndarray, wlen: int, min_baseq: int = 13,
                  baq_flag: int = 3, tile: int = 256, bw: int = 7,
-                 l_query: int = 100, chunk_reads: int = 1 << 17):
+                 l_query: int = 100, chunk_reads: int = 1 << 16):
         import jax
         import jax.numpy as jnp
         self.ref_int = np.ascontiguousarray(ref_int, np.uint8)
