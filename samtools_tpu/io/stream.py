@@ -238,6 +238,105 @@ class BamStream:
         return batch.take(np.nonzero(keep)[0])
 
 
+class WindowedReader:
+    """Genomic-window iteration over one or more coordinate-sorted
+    streams: yields (tid, wb, we, [overlap ReadBatch per stream]) with
+    halo-carried boundary reads, bounded memory.  The generic form of
+    the span-block pattern (bam_consensus.c:2626) used by the streamed
+    pileup-family tools."""
+
+    def __init__(self, streams, window_cols: int = 4 << 20,
+                 filter_fn=None, fields: int = 31):
+        self.streams = streams
+        self.window = window_cols
+        self.filter_fn = filter_fn
+        self.fields = fields
+
+    def __iter__(self):
+        fns = (self.filter_fn if isinstance(self.filter_fn, list)
+               else [self.filter_fn] * len(self.streams))
+        cursors = [_Cursor(st, fn, self.fields)
+                   for st, fn in zip(self.streams, fns)]
+        while True:
+            fronts = [c.front() for c in cursors]
+            live = [f for f in fronts if f is not None]
+            if not live:
+                return
+            tid = min(f[0] for f in live)
+            wb = min(f[1] for f in live if f[0] == tid)
+            while True:
+                we = wb + self.window
+                subs = [c.take(tid, wb, we) for c in cursors]
+                yield tid, wb, we, subs
+                if not any(c.more_on(tid) for c in cursors):
+                    break
+                wb = we
+
+
+class _Cursor:
+    def __init__(self, stream, filter_fn, fields):
+        self.gen = stream.batches(fields=fields)
+        self.filter_fn = filter_fn
+        self.pending: list = []
+        self.carry = None
+
+    def _pull(self):
+        nb = next(self.gen, None)
+        if nb is None:
+            return False
+        if self.filter_fn is not None:
+            sel = np.nonzero(self.filter_fn(nb))[0]
+            if sel.size == 0:
+                return True
+            nb = nb.take(sel)
+        if nb.n:
+            self.pending.append(nb)
+        return True
+
+    def front(self):
+        while not self.pending:
+            if not self._pull():
+                return None
+        b = self.pending[0]
+        return int(b.tid[0]), int(b.pos[0])
+
+    def take(self, tid, wb, we):
+        parts = []
+        if self.carry is not None:
+            cb, ctid = self.carry
+            if ctid == tid:
+                e = cb.end_pos()
+                parts.append(cb.take(np.nonzero(e > wb)[0]))
+            self.carry = None
+        while True:
+            fr = self.front()
+            if fr is None or fr[0] > tid or (fr[0] == tid
+                                             and fr[1] >= we):
+                break
+            b = self.pending[0]
+            m = (b.tid == tid) & (b.pos < we)
+            parts.append(b.take(np.nonzero(m)[0]))
+            rest = np.nonzero(~m)[0]
+            if rest.size:
+                self.pending[0] = b.take(rest)
+                break
+            self.pending.pop(0)
+        sub = (ReadBatch.concat(parts) if len(parts) > 1 else
+               parts[0] if parts else ReadBatch(n=0))
+        if sub.n:
+            e = sub.end_pos()
+            hal = np.nonzero(e > we)[0]
+            if hal.size:
+                self.carry = (sub.take(hal), tid)
+        return sub
+
+    def more_on(self, tid):
+        if self.carry is not None and self.carry[1] == tid:
+            return True
+        fr = self.front()
+        return fr is not None and fr[0] == tid
+
+
 def _decode(data: np.ndarray, offs: np.ndarray, threads: int,
             fields: int) -> ReadBatch:
     from ..core import metrics

@@ -157,14 +157,40 @@ def main_coverage(argv: list[str]) -> int:
         cols = int(os.environ.get("COLUMNS", "0") or 0)
         n_bins = cols - 40 if cols > 60 else 40
 
+    # no-region tabular runs stream in bounded windows; -r/-m keep the
+    # in-memory reader (regions already bound the data; histograms
+    # need per-bin arrays)
+    want_stream = reg is None and not histogram
     files = []
+    streams = []
     for path in args:
         try:
-            files.append(read_alignments(path, threads=ga.nthreads))
+            loaded = None
+            if want_stream and path != "-":
+                try:
+                    from ..io.stream import BamStream
+                    import types
+                    st = BamStream(path, threads=ga.nthreads or 2)
+                    loaded = types.SimpleNamespace(header=st.header,
+                                                   stream=st)
+                    streams.append(st)
+                except OSError:
+                    raise
+                except Exception:
+                    loaded = None
+            if loaded is None:
+                loaded = read_alignments(path, threads=ga.nthreads)
+            files.append(loaded)
         except OSError as e:
             print_error_errno("coverage", 'Could not open "%s"', path,
                               exc=e)
             return 1
+    use_stream = want_stream and len(streams) == len(files)
+    if not use_stream:
+        for i, f in enumerate(files):
+            if getattr(f, "stream", None) is not None:
+                files[i] = read_alignments(args[i], threads=ga.nthreads)
+        streams = []
     header = files[0].header
     n_targets = header.n_refs
 
@@ -188,6 +214,18 @@ def main_coverage(argv: list[str]) -> int:
     summed_baseq = np.zeros(n_targets, np.int64)
     quality_bases = np.zeros(n_targets, np.int64)
     covered = np.zeros(n_targets, bool)
+
+    if use_stream:
+        rc = _coverage_streamed(
+            streams, header, n_targets, fail_flags, required_flags,
+            min_mapq, min_len, min_baseq, min_depth, out, print_header,
+            n_reads, n_selected, summed_mapq, n_cov_bases, summed_cov,
+            summed_baseq, quality_bases)
+        for st in streams:
+            st.close()
+        if out is not sys.stdout:
+            out.close()
+        return rc
 
     selected = []
     for f in files:
@@ -337,6 +375,102 @@ def main_coverage(argv: list[str]) -> int:
                               summed_mapq)
     if out is not sys.stdout:
         out.close()
+    return 0
+
+
+def _coverage_streamed(streams, header, n_targets, fail_flags,
+                       required_flags, min_mapq, min_len, min_baseq,
+                       min_depth, out, print_header, n_reads, n_selected,
+                       summed_mapq, n_cov_bases, summed_cov,
+                       summed_baseq, quality_bases) -> int:
+    """Bounded-memory tabular coverage: per-read tallies accumulate in
+    the batch filter hook (each read seen exactly once), per-window
+    census + min-depth gate + reduction runs per span block (the
+    coverage.c:589 accumulators over WindowedReader halo windows)."""
+    from ..core.batch import ragged_gather_indices
+    from ..io.stream import WindowedReader
+    from ..ops.cigar import expand_ops
+
+    def make_filter():
+        def fn(b):
+            fl = b.flag.astype(np.int64)
+            placed = b.tid >= 0
+            np.add.at(n_reads, b.tid[placed], 1)
+            keep = np.ones(b.n, bool)
+            if fail_flags:
+                keep &= (fl & fail_flags) == 0
+            if required_flags:
+                keep &= (fl & required_flags) != 0
+            keep &= b.mapq.astype(np.int64) >= min_mapq
+            if min_len:
+                keep &= qlen_query(b) >= min_len
+            kp = keep & placed
+            np.add.at(n_selected, b.tid[kp], 1)
+            np.add.at(summed_mapq, b.tid[kp],
+                      b.mapq[kp].astype(np.int64))
+            return keep & placed
+        return fn
+
+    covered = np.zeros(n_targets, bool)
+    for tid, wb, we, subs in WindowedReader(
+            streams, filter_fn=[make_filter() for _ in streams]):
+        covered[tid] = True
+        we = min(we, int(header.ref_lens[tid]))
+        L = we - wb
+        if L <= 0:
+            continue
+        from ..engine import use_device
+        n_bases = sum(int(s.seq_off[-1]) for s in subs if s.n)
+        if use_device(n_bases):
+            from ..ops.pileup_engine import coverage_window_device
+            acc = coverage_window_device(
+                [(s, np.arange(s.n)) for s in subs], wb, we,
+                min_baseq, min_depth)
+            n_cov_bases[tid] += acc[0]
+            summed_cov[tid] += acc[1]
+            summed_baseq[tid] += acc[2]
+            quality_bases[tid] += acc[1]
+            continue
+        depth = np.zeros(L, np.int64)
+        bq_sum = np.zeros(L, np.int64)
+        vis = np.zeros(L, np.int64)
+        for sub in subs:
+            if sub.n == 0:
+                continue
+            t = expand_ops(sub)
+            emit = np.isin(t.op, (F.CMATCH, F.CEQUAL, F.CDIFF,
+                                  F.CDEL, F.CREF_SKIP))
+            e_ops = np.nonzero(emit)[0]
+            e_len = t.oplen[e_ops]
+            pos = ragged_gather_indices(t.rpos[e_ops], e_len)
+            inw = (pos >= wb) & (pos < we)
+            is_m = np.isin(t.op[e_ops],
+                           (F.CMATCH, F.CEQUAL, F.CDIFF))
+            is_m_e = np.repeat(is_m, e_len)
+            rid = np.repeat(t.rid[e_ops], e_len)
+            qpos = ragged_gather_indices(t.qpos[e_ops], e_len)
+            rel = (pos - wb)
+            np.add.at(vis, rel[inw], 1)
+            mb = inw & is_m_e
+            qm = sub.qual[sub.seq_off[rid[mb]] + qpos[mb]] \
+                .astype(np.int64)
+            okq = qm >= min_baseq
+            pr = rel[mb][okq]
+            np.add.at(depth, pr, 1)
+            np.add.at(bq_sum, pr, qm[okq])
+        ok = (vis > 0) & (depth > 0) & (depth >= min_depth)
+        n_cov_bases[tid] += int(ok.sum())
+        summed_cov[tid] += int(depth[ok].sum())
+        summed_baseq[tid] += int(bq_sum[ok].sum())
+        quality_bases[tid] += int(depth[ok].sum())
+
+    hdr_flag = [print_header]
+    order = [t for t in range(n_targets) if covered[t]] + \
+        [t for t in range(n_targets) if not covered[t]]
+    for t in order:
+        _tab_line(out, header, t, 0, header.ref_lens[t], hdr_flag,
+                  n_selected, n_cov_bases, summed_cov, summed_baseq,
+                  quality_bases, summed_mapq)
     return 0
 
 
