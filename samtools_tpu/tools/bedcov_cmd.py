@@ -17,6 +17,81 @@ from ..core import flags as F
 from ..io.files import read_alignments
 
 
+def _build_states_streaming(states, streams, needed, header, flags,
+                            min_mapq, min_depth, do_rcount) -> None:
+    """One streaming pass per file: accumulate whole-contig interval
+    diff arrays (footprint + M-span) for every BED contig, then the
+    prefix sums the per-region gathers consume."""
+    from ..ops.cigar import expand_ops
+    nf = len(streams)
+    acc: dict = {}   # (fi, tid) -> [d_incl, d_real, pos_list, end_list]
+
+    for fi, st in enumerate(streams):
+        for b in st.batches(fields=2):
+            fl = b.flag.astype(np.int64)
+            keep = ((fl & flags) == 0) \
+                & (b.mapq.astype(np.int64) >= min_mapq)
+            for t in np.unique(b.tid[(b.tid >= 0) & keep]):
+                t = int(t)
+                if t not in needed:
+                    continue
+                L = int(header.ref_lens[t])
+                a = acc.get((fi, t))
+                if a is None:
+                    a = [np.zeros(L + 1, np.int64),
+                         np.zeros(L + 1, np.int64), [], []]
+                    acc[(fi, t)] = a
+                sel = np.nonzero(keep & (b.tid == t))[0]
+                sub = b.take(sel, ragged=("cigar",))
+                e = sub.end_pos()
+                np.add.at(a[0], np.clip(sub.pos, 0, L), 1)
+                np.add.at(a[0], np.clip(e, 0, L), -1)
+                tt = expand_ops(sub)
+                m = np.isin(tt.op, (F.CMATCH, F.CEQUAL, F.CDIFF))
+                rs = np.clip(tt.rpos[m], 0, L)
+                re = np.clip(tt.rpos[m] + tt.oplen[m], 0, L)
+                np.add.at(a[1], rs, 1)
+                np.add.at(a[1], re, -1)
+                if do_rcount:
+                    a[2].append(sub.pos.copy())
+                    a[3].append(e.copy())
+
+    for t in needed:
+        L = int(header.ref_lens[t])
+        if not any((fi, t) in acc for fi in range(nf)):
+            states[t] = None
+            continue
+        per_incl = []
+        vis = np.zeros(L, bool)
+        for fi in range(nf):
+            a = acc.get((fi, t))
+            d_incl = (np.cumsum(a[0])[:L] if a is not None
+                      else np.zeros(L, np.int64))
+            d_real = (np.cumsum(a[1])[:L] if a is not None
+                      else np.zeros(L, np.int64))
+            vis |= d_incl > 0
+            per_incl.append((d_incl, d_real, a))
+        state = []
+        for fi, (d_incl, d_real, a) in enumerate(per_incl):
+            S2i = np.concatenate([[0], np.cumsum(d_incl)])
+            S2r = np.concatenate([[0], np.cumsum(d_real)])
+            if min_depth >= 0:
+                ind = vis & (d_real >= min_depth)
+                Sind = np.concatenate([[0], np.cumsum(ind)])
+            else:
+                Sind = None
+            if do_rcount and a is not None and a[2]:
+                rp = np.concatenate(a[2])
+                rend = np.concatenate(a[3])
+                order = np.argsort(rp, kind="stable")
+                rp, rend = rp[order], rend[order]
+            else:
+                rp = np.empty(0, np.int64)
+                rend = np.empty(0, np.int64)
+            state.append((S2i, S2r, Sind, rp, rend))
+        states[t] = (0, L, state)
+
+
 def _mspan_depth(b, sel: np.ndarray, lo: int, hi: int) -> np.ndarray:
     """int64[hi-lo] qual-ungated M/=/X depth via diff events (the numpy
     twin of ops.pileup_engine.depth_window_device with min_qual=0)."""
@@ -126,13 +201,35 @@ def main_bedcov(argv: list[str]) -> int:
         bam_paths = args[1:]
 
     files = []
+    streams = []
     for path in bam_paths:
         try:
-            files.append(read_alignments(path, threads=ga.nthreads))
+            loaded = None
+            if path != "-":
+                try:
+                    from ..io.stream import BamStream
+                    import types
+                    st = BamStream(path, threads=ga.nthreads or 2)
+                    loaded = types.SimpleNamespace(header=st.header,
+                                                   stream=st)
+                    streams.append(st)
+                except OSError:
+                    raise
+                except Exception:
+                    loaded = None
+            if loaded is None:
+                loaded = read_alignments(path, threads=ga.nthreads)
+            files.append(loaded)
         except OSError as e:
             sys.stderr.write(
                 f"ERROR: fail to open index BAM file '{path}'\n")
             return 2
+    use_stream = len(streams) == len(files)
+    if not use_stream:
+        for i, f in enumerate(files):
+            if getattr(f, "stream", None) is not None:
+                files[i] = read_alignments(bam_paths[i],
+                                           threads=ga.nthreads)
     header = files[0].header
 
     # Per-contig depth state, all files at once.  The pileup-entry count
@@ -216,6 +313,23 @@ def main_bedcov(argv: list[str]) -> int:
         print_error_errno("bedcov", "can't open BED file '%s'", bed_path,
                           exc=e)
         return 2
+
+    if use_stream:
+        # one bounded-memory pass over each stream accumulates the
+        # per-contig interval-depth diff arrays for every BED contig
+        # (O(contig) ints instead of O(file) records)
+        needed = set()
+        for line in bed_data.split("\n"):
+            p = line.split()
+            if len(p) >= 3 and not line.startswith(("#", "track ",
+                                                    "browser ")):
+                t = header.tid(p[0])
+                if t >= 0:
+                    needed.add(t)
+        _build_states_streaming(states, streams, needed, header, flags,
+                                min_mapq, min_depth, do_rcount)
+        for st in streams:
+            st.close()
 
     for line in bed_data.split("\n"):
         if not line:
