@@ -236,86 +236,132 @@ def main_calmd(argv: list[str]) -> int:
                           "Failed to open reference file '%s'", ref_file,
                           exc=e)
         return 1
-    try:
-        f = read_alignments(fn_in, threads=ga.nthreads)
-    except OSError as e:
-        print_error_errno("calmd", "Failed to open input file '%s'",
-                          fn_in, exc=e)
-        return 1
-    header = f.header
-    b = f.batch
+    stream = None
+    if fn_in != "-":
+        try:
+            from ..io.stream import BamStream
+            stream = BamStream(fn_in, threads=ga.nthreads or 2)
+            header = stream.header
+        except OSError as e:
+            print_error_errno("calmd", "Failed to open input file '%s'",
+                              fn_in, exc=e)
+            return 1
+        except Exception:
+            stream = None
+    if stream is None:
+        try:
+            f = read_alignments(fn_in, threads=ga.nthreads)
+        except OSError as e:
+            print_error_errno("calmd", "Failed to open input file '%s'",
+                              fn_in, exc=e)
+            return 1
+        header = f.header
 
-    aux_out = [b.aux_of(i) for i in range(b.n)]
     skipped = 0
     ref_cache: dict = {}
+    missing: set = set()
 
-    from ..ops import baq as baqmod
-    from ..io.sam_text import NT16_LUT
-
-    for t in np.unique(b.tid[b.tid >= 0]):
-        name = header.ref_name(int(t))
-        if fai.has(name):
-            seq = fai.fetch(name)
-        else:
-            sys.stderr.write("[bam_fillmd] fail to find sequence '%s' in "
-                             "the reference.\n" % name)
-            if is_realn or capq > 10:
-                return 1
-            continue
-        ref_cache[int(t)] = seq
-
-    # BAQ / capQ per contig sub-batches (record order preserved in b)
-    if is_realn or capq > 10:
-        for t, seq in ref_cache.items():
-            sel = np.nonzero(b.tid == t)[0]
-            sub_idx = sel
-            ref_int = baqmod.NT16_INT[NT16_LUT[np.frombuffer(seq,
-                                                             np.uint8)]]
-            for i in sub_idx:
-                i = int(i)
-                qual = b.qual[b.seq_off[i]:b.seq_off[i + 1]]
-                if is_realn:
-                    got = baqmod.sam_prob_realn_single(
-                        int(b.pos[i]), b.cigar_of(i), b.seq_of(i), qual,
-                        aux_out[i], ref_int, len(seq), baq_flag)
-                    if got is not None:
-                        newq, new_aux = got
-                        b.qual[b.seq_off[i]:b.seq_off[i + 1]] = newq
-                        aux_out[i] = np.asarray(new_aux, np.uint8)
-                if capq > 10:
-                    q = baqmod._cap_mapq_single(
-                        int(b.pos[i]), b.cigar_of(i), b.seq_of(i),
-                        b.qual[b.seq_off[i]:b.seq_off[i + 1]],
-                        ref_int, len(seq), capq)
-                    if b.mapq[i] > q:
-                        b.mapq[i] = max(q, 0)
-
-    for i in range(b.n):
-        t = int(b.tid[i])
-        if t < 0 or t not in ref_cache:
-            continue
-        ref = ref_cache[t]
-        r = fillmd_one(b, i, ref, len(ref), flt_flag, max_nm, quiet,
-                       header.ref_name(t), aux_out)
-        if r == -2:
-            skipped += 1
-
-    # rebuild aux
-    off = np.zeros(b.n + 1, np.int64)
-    for i, a in enumerate(aux_out):
-        off[i + 1] = off[i] + len(a)
-    b.aux = (np.concatenate(aux_out).astype(np.uint8)
-             if aux_out else np.empty(0, np.uint8))
-    b.aux_off = off
-
-    if skipped and not quiet:
-        sys.stderr.write("[bam_fillmd] %u reads skipped\n" % skipped)
+    def process(b) -> int | None:
+        """BAQ/capQ/MD-fill one decoded batch in place; returns skipped
+        count or None on a fatal missing-reference error."""
+        nonlocal ref_cache
+        from ..ops import baq as baqmod
+        from ..io.sam_text import NT16_LUT
+        aux_out = [b.aux_of(i) for i in range(b.n)]
+        skip = 0
+        batch_tids = {int(t) for t in np.unique(b.tid[b.tid >= 0])}
+        if len(ref_cache) > 4:
+            # drop contigs this batch doesn't touch (ref LRU analog,
+            # bam_md.c:54 keeps a small cache)
+            ref_cache = {t: s for t, s in ref_cache.items()
+                         if t in batch_tids}
+        for t in sorted(batch_tids):
+            if t in ref_cache or t in missing:
+                continue
+            name = header.ref_name(t)
+            if fai.has(name):
+                ref_cache[t] = fai.fetch(name)
+            else:
+                sys.stderr.write("[bam_fillmd] fail to find sequence "
+                                 "'%s' in the reference.\n" % name)
+                if is_realn or capq > 10:
+                    return None
+                missing.add(t)
+        if is_realn or capq > 10:
+            for t, seq in ref_cache.items():
+                sel = np.nonzero(b.tid == t)[0]
+                ref_int = baqmod.NT16_INT[
+                    NT16_LUT[np.frombuffer(seq, np.uint8)]]
+                for i in sel:
+                    i = int(i)
+                    qual = b.qual[b.seq_off[i]:b.seq_off[i + 1]]
+                    if is_realn:
+                        got = baqmod.sam_prob_realn_single(
+                            int(b.pos[i]), b.cigar_of(i), b.seq_of(i),
+                            qual, aux_out[i], ref_int, len(seq),
+                            baq_flag)
+                        if got is not None:
+                            newq, new_aux = got
+                            b.qual[b.seq_off[i]:b.seq_off[i + 1]] = newq
+                            aux_out[i] = np.asarray(new_aux, np.uint8)
+                    if capq > 10:
+                        q = baqmod._cap_mapq_single(
+                            int(b.pos[i]), b.cigar_of(i), b.seq_of(i),
+                            b.qual[b.seq_off[i]:b.seq_off[i + 1]],
+                            ref_int, len(seq), capq)
+                        if b.mapq[i] > q:
+                            b.mapq[i] = max(q, 0)
+        for i in range(b.n):
+            t = int(b.tid[i])
+            if t < 0 or t not in ref_cache:
+                continue
+            ref = ref_cache[t]
+            r = fillmd_one(b, i, ref, len(ref), flt_flag, max_nm, quiet,
+                           header.ref_name(t), aux_out)
+            if r == -2:
+                skip += 1
+        off = np.zeros(b.n + 1, np.int64)
+        for i, a in enumerate(aux_out):
+            off[i + 1] = off[i] + len(a)
+        b.aux = (np.concatenate(aux_out).astype(np.uint8)
+                 if aux_out else np.empty(0, np.uint8))
+        b.aux_off = off
+        return skip
 
     if not no_pg:
         cl = "samtools calmd " + " ".join(argv)
         header = header.add_pg_line("samtools", "samtools", cl,
                                     SAMTOOLS_PARITY_VERSION)
     fmt = "bam" if is_bam_out else (ga.out_fmt or "sam")
-    write_alignments(None, header, b, fmt=fmt, threads=ga.nthreads,
-                     level=level, include_header=True)
+
+    if stream is not None and fmt in ("bam", "sam", "sam.gz"):
+        # bounded-memory pipeline: window in, window out (the
+        # reference's one-record loop, bam_md.c:389)
+        from ..io.files import StreamingWriter
+        writer = StreamingWriter(None, header, fmt,
+                                 threads=ga.nthreads, level=level)
+        try:
+            for wb in stream.batches():
+                got = process(wb)
+                if got is None:
+                    return 1
+                skipped += got
+                writer.write_batch(wb)
+        finally:
+            writer.close()
+            stream.close()
+    else:
+        if stream is not None:
+            stream.close()
+            f = read_alignments(fn_in, threads=ga.nthreads)
+        b = f.batch
+        got = process(b)
+        if got is None:
+            return 1
+        skipped += got
+        write_alignments(None, header, b, fmt=fmt, threads=ga.nthreads,
+                         level=level, include_header=True)
+
+    if skipped and not quiet:
+        sys.stderr.write("[bam_fillmd] %u reads skipped\n" % skipped)
     return 0
