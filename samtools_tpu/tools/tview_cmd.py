@@ -203,7 +203,16 @@ def draw(tv: dict, screen: Screen) -> None:
                                 int(sub.seq[sub.seq_off[rid] + qpos])]
                         else:
                             ch = "N"
-                        if tv["is_dot"] and ch.upper() == rb.upper():
+                        if tv.get("base_for") == "cs":
+                            # SOLiD color-space view (bam_color.c
+                            # accessors; corrected color in dot mode)
+                            from ..core import colorspace as csmod
+                            cc = (csmod.get_cei(sub, rid, qpos)
+                                  if tv["is_dot"] else
+                                  csmod.get_csi(sub, rid, qpos))
+                            if cc:
+                                ch = cc
+                        elif tv["is_dot"] and ch.upper() == rb.upper():
                             ch = "," if rev else "."
                     else:
                         ch = ("<" if rev else ">") \
@@ -507,6 +516,9 @@ def curses_loop(tv, header, fai) -> int:
                 pos += 20
             elif c == ord("."):
                 tv["is_dot"] = not tv["is_dot"]
+            elif c == ord("c"):
+                tv["base_for"] = ("cs" if tv.get("base_for") != "cs"
+                                  else None)
             elif c == ord("i"):
                 tv["ins"] = not tv["ins"]
             elif c == 0x08:       # ctrl-H
