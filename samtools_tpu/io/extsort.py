@@ -56,6 +56,69 @@ def order_batch(batch: ReadBatch, key_fn, kind: str,
     return (np.array(idx, np.int64) if idx else np.empty(0, np.int64))
 
 
+def merge_packed_iters(iters, pack_fn):
+    """Incremental k-way merge on single packed radix keys over
+    per-source iterators of sorted ReadBatch chunks.
+
+    Each source's leftover pool stays sorted and is never re-keyed:
+    per round the pieces [pool_s, fresh batch_s] are concatenated in
+    source order and one stable integer argsort (numpy radix for ints)
+    restores the global (key, source, sequence) order — ties collapse
+    into concatenation order, which IS the reference's (file index,
+    record index) rule because every piece holds one source and pieces
+    are concatenated by source id (bam_sort.c:227-273 heap_lt).
+    Carried rows keep their packed keys, so the per-round work is one
+    radix pass over the pool instead of a multi-column lexsort."""
+    k = len(iters)
+    live = [True] * k
+    pools: list = [None] * k       # (batch, keys) per source, sorted
+    while True:
+        pieces, keys, owners, bounds = [], [], [], []
+        for s in range(k):
+            if pools[s] is not None:
+                pb, pk = pools[s]
+                pieces.append(pb)
+                keys.append(pk)
+                owners.append(np.full(pb.n, s, np.int32))
+                bounds.append(False)
+                pools[s] = None
+            if live[s]:
+                nb = next(iters[s], None)
+                if nb is None:
+                    live[s] = False
+                elif nb.n:
+                    pieces.append(nb)
+                    keys.append(pack_fn(nb))
+                    owners.append(np.full(nb.n, s, np.int32))
+                    bounds.append(True)
+        if not pieces:
+            return
+        big = (ReadBatch.concat(pieces) if len(pieces) > 1
+               else pieces[0])
+        key = np.concatenate(keys)
+        own = np.concatenate(owners)
+        order = np.argsort(key, kind="stable")
+        inv = np.empty(big.n, np.int64)
+        inv[order] = np.arange(big.n)
+        # emit everything provably before each still-reading source's
+        # largest pooled key (its fresh piece's last row)
+        cut = big.n
+        off = 0
+        for p, o, bd in zip(pieces, owners, bounds):
+            if bd and p.n and live[int(o[0])]:
+                cut = min(cut, int(inv[off + p.n - 1]))
+            off += p.n
+        if cut > 0:
+            yield big.take(order[:cut])
+        keep = order[cut:]
+        if keep.size:
+            ko = own[keep]
+            for s in range(k):
+                rows = keep[ko == s]
+                if rows.size:
+                    pools[s] = (big.take(rows), key[rows])
+
+
 class SpillSorter:
     """Accumulate batches under a memory budget; spill sorted runs."""
 
@@ -128,72 +191,12 @@ class SpillSorter:
         return self._merge_generic()
 
     def _merge_packed(self):
-        """Incremental k-way merge on single packed radix keys.
-
-        Each run's leftover pool stays sorted and is never re-keyed:
-        per round the pieces [pool_s, fresh batch_s] are concatenated
-        in run order and one stable integer argsort (numpy radix for
-        ints) restores the global (key, run, sequence) order — ties
-        collapse into concatenation order, which IS the reference's
-        (file index, record index) rule because every piece holds one
-        run and pieces are concatenated by run id.  Carried rows keep
-        their packed keys, so the per-round work is one radix pass
-        over the pool instead of the generic path's 5-column lexsort
-        (bam_sort.c:1956's heap touches only heads; this touches the
-        pool once per round but in a single vectorized pass)."""
-        from ..core import metrics
         spills = self.spills
-        k = len(spills)
-        metrics.log(4, "sort", "merging from %d files...", k)
+        from ..core import metrics
+        metrics.log(4, "sort", "merging from %d files...", len(spills))
         streams = [BamStream(fn, self.threads).batches() for fn in spills]
-        live = [True] * k
-        pools: list = [None] * k       # (batch, keys) per run, sorted
         try:
-            while True:
-                pieces, keys, owners, bounds = [], [], [], []
-                for s in range(k):
-                    if pools[s] is not None:
-                        pb, pk = pools[s]
-                        pieces.append(pb)
-                        keys.append(pk)
-                        owners.append(np.full(pb.n, s, np.int32))
-                        bounds.append(False)
-                        pools[s] = None
-                    if live[s]:
-                        nb = next(streams[s], None)
-                        if nb is None:
-                            live[s] = False
-                        elif nb.n:
-                            pieces.append(nb)
-                            keys.append(self.pack_fn(nb))
-                            owners.append(np.full(nb.n, s, np.int32))
-                            bounds.append(True)
-                if not pieces:
-                    break
-                big = (ReadBatch.concat(pieces) if len(pieces) > 1
-                       else pieces[0])
-                key = np.concatenate(keys)
-                own = np.concatenate(owners)
-                order = np.argsort(key, kind="stable")
-                inv = np.empty(big.n, np.int64)
-                inv[order] = np.arange(big.n)
-                # emit everything provably before each still-reading
-                # run's largest pooled key (its fresh piece's last row)
-                cut = big.n
-                off = 0
-                for p, o, bd in zip(pieces, owners, bounds):
-                    if bd and p.n and live[int(o[0])]:
-                        cut = min(cut, int(inv[off + p.n - 1]))
-                    off += p.n
-                if cut > 0:
-                    yield big.take(order[:cut])
-                keep = order[cut:]
-                if keep.size:
-                    ko = own[keep]
-                    for s in range(k):
-                        rows = keep[ko == s]
-                        if rows.size:
-                            pools[s] = (big.take(rows), key[rows])
+            yield from merge_packed_iters(streams, self.pack_fn)
         finally:
             for fn in spills:
                 try:

@@ -275,6 +275,56 @@ def rg_from_filename(path: str) -> str:
     return os.path.basename(base)
 
 
+def _merge_streamed(streams, tables, paths, header, attach_rg, no_pg,
+                    argv, fnout, ga, level) -> int:
+    """Bounded-memory coordinate merge: per-file batches are
+    header-translated (and -r retagged) as they arrive, then a k-way
+    packed-key merge emits ordered windows to an incremental writer
+    (bam_merge_core2's heap loop, bam_sort.c:1956, batched)."""
+    from ..io.extsort import merge_packed_iters
+    from ..io.files import StreamingWriter
+    from ..ops.sort_keys import coordinate_pack
+
+    def make_iter(fi, st):
+        tid_trans, rg_map, pg_map = tables[fi]
+
+        def gen():
+            for b in st.batches():
+                translate_batch(b, tid_trans, rg_map, pg_map)
+                if attach_rg:
+                    rg = rg_from_filename(paths[fi])
+                    blob = b"RGZ" + rg.encode("latin-1") + b"\0"
+                    parts = []
+                    off = np.zeros(b.n + 1, np.int64)
+                    for i in range(b.n):
+                        a = auxmod.delete_tags(b.aux_of(i), {"RG"})
+                        a = np.concatenate(
+                            [np.asarray(a, np.uint8),
+                             np.frombuffer(blob, np.uint8)])
+                        parts.append(a)
+                        off[i + 1] = off[i] + len(a)
+                    b.aux = (np.concatenate(parts).astype(np.uint8)
+                             if parts else np.empty(0, np.uint8))
+                    b.aux_off = off
+                yield b
+        return gen()
+
+    if not no_pg:
+        cl = "samtools merge " + " ".join(argv)
+        header = header.add_pg_line("samtools", "samtools", cl,
+                                    SAMTOOLS_PARITY_VERSION)
+    fmt = infer_output_format(fnout, ga.out_fmt, "bam")
+    writer = StreamingWriter(fnout if fnout != "-" else None, header,
+                             fmt, threads=ga.nthreads, level=level)
+    try:
+        iters = [make_iter(fi, st) for fi, st in enumerate(streams)]
+        for ob in merge_packed_iters(iters, coordinate_pack):
+            writer.write_batch(ob)
+    finally:
+        writer.close()
+    return 0
+
+
 def main_merge(argv: list[str]) -> int:
     import time
     ga = GlobalArgs()
@@ -388,11 +438,34 @@ def main_merge(argv: list[str]) -> int:
             return 1
         merged.add_file(hf.header, combine_rg, combine_pg, True, None)
 
+    # coordinate merges over BGZF BAMs stream (k-way packed-key merge,
+    # the bam_merge_core2 heap's batched equivalent) — header-only
+    # opens here, record windows during the merge
+    want_stream = (order == "coordinate" and sort_tag is None
+                   and not reg and not fn_bed
+                   and infer_output_format(fnout, ga.out_fmt, "bam")
+                   in ("bam", "sam", "sam.gz")
+                   and not ga.write_index)
     files = []
     tables = []
+    streams = []
     for path in paths:
         try:
-            f = read_alignments(path, threads=ga.nthreads)
+            f = None
+            if want_stream and path != "-":
+                try:
+                    from ..io.stream import BamStream
+                    import types
+                    st = BamStream(path, threads=ga.nthreads or 2)
+                    f = types.SimpleNamespace(header=st.header,
+                                              stream=st)
+                    streams.append(st)
+                except OSError:
+                    raise
+                except Exception:
+                    f = None
+            if f is None:
+                f = read_alignments(path, threads=ga.nthreads)
         except OSError as e:
             print_error_errno("merge", 'fail to open "%s"', path, exc=e)
             return 1
@@ -402,7 +475,25 @@ def main_merge(argv: list[str]) -> int:
         files.append(f)
         tables.append(tbl)
 
+    use_stream = want_stream and len(streams) == len(files)
+    if want_stream and not use_stream:
+        for i, f in enumerate(files):
+            if getattr(f, "stream", None) is not None:
+                files[i] = read_alignments(paths[i], threads=ga.nthreads)
+        streams = []
+
     header = merged.finish()
+
+    if use_stream and header.n_refs < (1 << 30) - 1:
+        rc = _merge_streamed(streams, tables, paths, header, attach_rg,
+                             no_pg, argv, fnout, ga, level)
+        for st in streams:
+            st.close()
+        return rc
+    if use_stream:
+        for i in range(len(files)):
+            files[i] = read_alignments(paths[i], threads=ga.nthreads)
+        streams = []
 
     bedidx = bedmod.read_bed(fn_bed) if fn_bed else None
     region = None
