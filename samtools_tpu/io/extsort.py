@@ -68,46 +68,70 @@ def merge_packed_iters(iters, pack_fn):
     record index) rule because every piece holds one source and pieces
     are concatenated by source id (bam_sort.c:227-273 heap_lt).
     Carried rows keep their packed keys, so the per-round work is one
-    radix pass over the pool instead of a multi-column lexsort."""
+    radix pass over the pool instead of a multi-column lexsort.
+
+    Memory is bounded heap-style: a live source whose pooled leftover
+    already exceeds a few batches' worth of rows lies sorted *ahead* of
+    the merge frontier (e.g. a per-chromosome input, or a spill run
+    from nearly-sorted data) and is NOT advanced again until emission
+    drains its pool; the last row of its pool remains a valid lower
+    bound for everything it still holds on disk.  The frontier source's
+    pool drains to ~one row per round, so it always refills, which
+    guarantees progress."""
     k = len(iters)
     live = [True] * k
     pools: list = [None] * k       # (batch, keys) per source, sorted
+    max_batch = 1                  # largest fresh batch seen (rows)
     while True:
-        pieces, keys, owners, bounds = [], [], [], []
+        pieces, keys, owners = [], [], []
+        bound_at = [-1] * k        # abs row index of source s's bound
+        off = 0
+        cap = 4 * max_batch
         for s in range(k):
+            pooled = 0
             if pools[s] is not None:
                 pb, pk = pools[s]
                 pieces.append(pb)
                 keys.append(pk)
                 owners.append(np.full(pb.n, s, np.int32))
-                bounds.append(False)
                 pools[s] = None
-            if live[s]:
+                off += pb.n
+                bound_at[s] = off - 1
+                pooled = pb.n
+            if live[s] and pooled < cap:
                 nb = next(iters[s], None)
+                while nb is not None and nb.n == 0:
+                    nb = next(iters[s], None)
                 if nb is None:
                     live[s] = False
-                elif nb.n:
+                else:
+                    kb = pack_fn(nb)
+                    if kb is None:
+                        raise ValueError(
+                            "merge: packed sort key unavailable for a "
+                            "batch (tid/pos outside the packable "
+                            "range; input may be corrupt)")
+                    max_batch = max(max_batch, nb.n)
                     pieces.append(nb)
-                    keys.append(pack_fn(nb))
+                    keys.append(kb)
                     owners.append(np.full(nb.n, s, np.int32))
-                    bounds.append(True)
+                    off += nb.n
+                    bound_at[s] = off - 1
         if not pieces:
             return
         big = (ReadBatch.concat(pieces) if len(pieces) > 1
                else pieces[0])
-        key = np.concatenate(keys)
-        own = np.concatenate(owners)
+        key = np.concatenate(keys) if len(keys) > 1 else keys[0]
+        own = np.concatenate(owners) if len(owners) > 1 else owners[0]
         order = np.argsort(key, kind="stable")
         inv = np.empty(big.n, np.int64)
         inv[order] = np.arange(big.n)
         # emit everything provably before each still-reading source's
-        # largest pooled key (its fresh piece's last row)
+        # largest pooled key (the last row of its last piece)
         cut = big.n
-        off = 0
-        for p, o, bd in zip(pieces, owners, bounds):
-            if bd and p.n and live[int(o[0])]:
-                cut = min(cut, int(inv[off + p.n - 1]))
-            off += p.n
+        for s in range(k):
+            if live[s] and bound_at[s] >= 0:
+                cut = min(cut, int(inv[bound_at[s]]))
         if cut > 0:
             yield big.take(order[:cut])
         keep = order[cut:]
@@ -212,27 +236,41 @@ class SpillSorter:
         streams = [BamStream(fn, self.threads).batches() for fn in spills]
         live = [True] * k
         seq_next = [0] * k
-        pool = None
-        pool_sid = pool_seq = None
+        pools: list = [None] * k   # (batch, seq) per source, ordered
+        max_batch = 1
         try:
             while True:
                 parts, sids, seqs = [], [], []
-                if pool is not None and pool.n:
-                    parts.append(pool)
-                    sids.append(pool_sid)
-                    seqs.append(pool_seq)
+                bound_at = [-1] * k
+                off = 0
+                cap = 4 * max_batch
                 for s in range(k):
-                    if not live[s]:
-                        continue
-                    nb = next(streams[s], None)
-                    if nb is None:
-                        live[s] = False
-                        continue
-                    parts.append(nb)
-                    sids.append(np.full(nb.n, s, np.int64))
-                    seqs.append(np.arange(seq_next[s], seq_next[s] + nb.n,
-                                          dtype=np.int64))
-                    seq_next[s] += nb.n
+                    pooled = 0
+                    if pools[s] is not None:
+                        pb, pq = pools[s]
+                        parts.append(pb)
+                        sids.append(np.full(pb.n, s, np.int64))
+                        seqs.append(pq)
+                        pools[s] = None
+                        off += pb.n
+                        bound_at[s] = off - 1
+                        pooled = pb.n
+                    if live[s] and pooled < cap:
+                        nb = next(streams[s], None)
+                        while nb is not None and nb.n == 0:
+                            nb = next(streams[s], None)
+                        if nb is None:
+                            live[s] = False
+                        else:
+                            max_batch = max(max_batch, nb.n)
+                            parts.append(nb)
+                            sids.append(np.full(nb.n, s, np.int64))
+                            seqs.append(np.arange(
+                                seq_next[s], seq_next[s] + nb.n,
+                                dtype=np.int64))
+                            seq_next[s] += nb.n
+                            off += nb.n
+                            bound_at[s] = off - 1
                 if not parts:
                     break
                 big = (ReadBatch.concat(parts) if len(parts) > 1
@@ -244,18 +282,17 @@ class SpillSorter:
                 inv[order] = np.arange(big.n)
                 cut = big.n
                 for s in range(k):
-                    if not live[s]:
-                        continue
-                    rows = np.nonzero(sid == s)[0]
-                    # a live stream always contributed this round
-                    last = rows[np.argmax(seq[rows])]
-                    cut = min(cut, int(inv[last]))
+                    if live[s] and bound_at[s] >= 0:
+                        cut = min(cut, int(inv[bound_at[s]]))
                 if cut > 0:
                     yield big.take(order[:cut])
                 keep = order[cut:]
-                pool = big.take(keep)
-                pool_sid = sid[keep]
-                pool_seq = seq[keep]
+                if keep.size:
+                    ks = sid[keep]
+                    for s in range(k):
+                        rows = keep[ks == s]
+                        if rows.size:
+                            pools[s] = (big.take(rows), seq[rows])
         finally:
             for fn in spills:
                 try:

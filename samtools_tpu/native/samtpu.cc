@@ -424,6 +424,14 @@ int64_t samtpu_bench_depth(const uint8_t* data, int64_t n, int32_t want_tid,
     std::memcpy(&n_cigar, r + 16, 2);
     int32_t l_seq;
     std::memcpy(&l_seq, r + 20, 4);
+    // derived cigar/seq/qual spans must fit inside the record (guards
+    // out-of-bounds reads on malformed bodies, as samtpu_bam_decode_sizes
+    // does)
+    if (l_seq < 0 || l_read_name == 0 ||
+        (int64_t)kFixed - 4 + l_read_name + 4 * (int64_t)n_cigar +
+                ((int64_t)l_seq + 1) / 2 + (int64_t)l_seq >
+            (int64_t)bs)
+      return -1;
     const uint32_t* cig =
         reinterpret_cast<const uint32_t*>(r + kFixed + l_read_name);
     const uint8_t* qual =
@@ -766,11 +774,23 @@ static int baq_one(int64_t pos, const uint32_t* cigar, int64_t n_cigar,
       x += ln;
     }
   }
-  // final: apply (newq = min(q, bqv) via the 64-offset tag arithmetic)
+  // final: apply via the 64-offset tag arithmetic (ops/baq.py final_bq).
+  // extend mode: newq = q - max(0, q - bqv) = min(q, bqv).
+  // non-extend:  newq = q - ((q - bqv + 64) - 64) = bqv — soft-clip/insert
+  // bases (never capped by the per-M loop) CAN be raised above q, exactly
+  // as htslib's qual - (BQ - 64) arithmetic allows.
   for (int64_t i = 0; i < l_qseq; ++i) {
     int64_t q = qual[i];
-    int64_t fbq = q <= bqv[(size_t)i] ? 0 : q - bqv[(size_t)i];
-    out_qual[i] = (uint8_t)(apply_baq ? q - fbq : q);
+    int64_t newq = q;
+    if (apply_baq) {
+      if (extend_baq)
+        newq = q <= bqv[(size_t)i] ? q : bqv[(size_t)i];
+      else
+        newq = bqv[(size_t)i];
+    }
+    if (newq < 0) newq = 0;
+    if (newq > 255) newq = 255;
+    out_qual[i] = (uint8_t)newq;
   }
   return 0;
 }
@@ -854,6 +874,14 @@ int64_t samtpu_bench_baq_census(const uint8_t* data, int64_t n,
     std::memcpy(&n_cigar, r + 16, 2);
     int32_t l_seq;
     std::memcpy(&l_seq, r + 20, 4);
+    // derived cigar/seq/qual spans must fit inside the record (guards
+    // out-of-bounds reads on malformed bodies, as samtpu_bam_decode_sizes
+    // does)
+    if (l_seq < 0 || l_read_name == 0 ||
+        (int64_t)kFixed - 4 + l_read_name + 4 * (int64_t)n_cigar +
+                ((int64_t)l_seq + 1) / 2 + (int64_t)l_seq >
+            (int64_t)bs)
+      return -1;
     const uint32_t* cig =
         reinterpret_cast<const uint32_t*>(r + kFixed + l_read_name);
     const uint8_t* packed = r + kFixed + l_read_name + 4 * n_cigar;

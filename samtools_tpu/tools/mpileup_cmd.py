@@ -632,7 +632,8 @@ def _run_pileup(files, paths, header, conf, region, bedidx, fai, out) -> int:
     for tid, wb, we, subs in windows:
         name = header.ref_names[tid]
         # assemble per-file states for this window
-        states = [_prepare_file_state(sub, conf, tid, get_ref, files, f)
+        states = [_prepare_file_state(sub, conf, tid, get_ref, files, f,
+                                      wb=wb, we=we)
                   for sub, f in zip(subs, files)]
         # merged column positions
         col_sets = [s.p.col_pos for s in states if s.p.n_entries]
@@ -877,7 +878,8 @@ def _stream_windows(streams, conf, bedidx, header, cursors=None,
             wb = we
 
 
-def _prepare_file_state(sub, conf, tid, get_ref, files, f) -> FileState:
+def _prepare_file_state(sub, conf, tid, get_ref, files, f,
+                        wb=None, we=None) -> FileState:
     # quality transforms
     if conf["illumina13"]:
         q = sub.qual.astype(np.int64)
@@ -901,8 +903,23 @@ def _prepare_file_state(sub, conf, tid, get_ref, files, f) -> FileState:
         fl = sub.flag.astype(np.int64)
         keep &= ~(((fl & F.FPAIRED) != 0) & ((fl & F.FPROPER_PAIR) == 0))
     sub = sub.take(np.nonzero(keep)[0])
-    if conf["max_depth"] and sub.n > conf["max_depth"]:
-        sub = sub.take(_depth_cap_select(sub, conf["max_depth"]))
+    if conf["max_depth"]:
+        if wb is None:
+            if sub.n > conf["max_depth"]:
+                sub = sub.take(_depth_cap_select(sub, conf["max_depth"]))
+        else:
+            # streamed windows: cap decisions must be made once per read
+            # (at its first window) and carried — a carried read's drop
+            # state may depend on reads that ended before this window
+            carry = getattr(f, "_cap_carry", None)
+            prev = None
+            if carry is not None and carry[0] == tid and carry[1] == wb:
+                prev = carry[2]
+            keepm, nxt = _depth_cap_stream(sub, conf["max_depth"], wb, we,
+                                           prev)
+            f._cap_carry = (tid, we, nxt)
+            if not keepm.all():
+                sub = sub.take(np.nonzero(keepm)[0])
     if conf["smart_overlaps"]:
         from ..ops import overlaps
         overlaps.tweak_overlaps(sub)
@@ -912,12 +929,67 @@ def _prepare_file_state(sub, conf, tid, get_ref, files, f) -> FileState:
     return FileState(sub, p, entry_str, qual_chars, pass_q)
 
 
+def _depth_cap_stream(sub, maxcnt: int, wb: int, we: int, prev_keep):
+    """Windowed variant of _depth_cap_select.
+
+    ``sub`` is one window's overlap set (coordinate-sorted; carried halo
+    reads with pos < wb first, then this window's reads).  Carried reads
+    reuse the decision made at their first window (``prev_keep``, one
+    bool per carried read in order); only reads with pos >= wb are
+    decided here, against the active-end heap seeded from the KEPT
+    carried reads.  Returns (keep_mask, next_prev_keep) where the second
+    is the decision array for reads that will be carried into the next
+    window (end > we), in order."""
+    import heapq
+    n = sub.n
+    ends = sub.end_pos()
+    pos = sub.pos
+    keep = np.ones(n, bool)
+    nc = int(np.searchsorted(pos, wb))
+    if prev_keep is None or len(prev_keep) != nc:
+        # first window on this tid (nc == 0) or resume without state:
+        # decide carried reads by re-simulation (pre-window context lost)
+        nc = 0
+    else:
+        keep[:nc] = prev_keep
+    # vectorized fast path: the max read-span overlap bounds the active
+    # count from above, so if it never reaches maxcnt nothing drops
+    if n and _max_span_overlap(pos, ends) < maxcnt:
+        return keep, keep[ends > we].copy()
+    active: list = []
+    for i in range(nc):
+        if keep[i]:
+            heapq.heappush(active, int(ends[i]))
+    for i in range(nc, n):
+        p = int(pos[i])
+        while active and active[0] <= p:
+            heapq.heappop(active)
+        if len(active) >= maxcnt:
+            keep[i] = False
+            continue
+        heapq.heappush(active, int(ends[i]))
+    return keep, keep[ends > we].copy()
+
+
+def _max_span_overlap(pos: np.ndarray, ends: np.ndarray) -> int:
+    """Max number of read spans covering any single start position —
+    an upper bound on the depth-cap active count (pos must be sorted)."""
+    n = len(pos)
+    if n == 0:
+        return 0
+    se = np.sort(ends)
+    cnt = np.arange(1, n + 1) - np.searchsorted(se, pos, side="right")
+    return int(cnt.max())
+
+
 def _depth_cap_select(sub, maxcnt: int) -> np.ndarray:
     """Per-file depth cap (bam_mplp_set_maxcnt semantics,
     /root/reference/bam_plcmd.c:597): a read is dropped at insertion when
     the buffer already holds maxcnt reads overlapping its start."""
     import heapq
     ends = sub.end_pos()
+    if _max_span_overlap(sub.pos, ends) < maxcnt:
+        return np.arange(sub.n, dtype=np.int64)
     keep = []
     active: list[int] = []
     for i in range(sub.n):
