@@ -107,6 +107,8 @@ def main(argv: list[str] | None = None) -> int:
         usage(sys.stderr)
         return 1
     import os
+    from .core.malloc_tune import tune
+    tune()
     if os.environ.get("SAMTPU_DIST_COORD"):
         from .parallel.dist import maybe_init_distributed
         maybe_init_distributed()

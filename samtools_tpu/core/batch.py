@@ -180,7 +180,13 @@ def ragged_gather_indices(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
     starts_nz = starts[nonzero]
     lens_nz = lens[nonzero]
     ends_nz = np.cumsum(lens_nz)
-    out = np.ones(total, np.int64)
+    # int32 halves the memory traffic of the two passes when every
+    # produced index fits (the common case: flats well under 2^31)
+    mx = int((starts_nz + lens_nz).max())
+    dt = np.int32 if (mx < (1 << 31) - 1
+                      and int(starts_nz.min()) >= 0) else np.int64
+    out = np.ones(total, dt)
     out[0] = starts_nz[0]
-    out[ends_nz[:-1]] = starts_nz[1:] - (starts_nz[:-1] + lens_nz[:-1] - 1)
+    out[ends_nz[:-1]] = (starts_nz[1:]
+                         - (starts_nz[:-1] + lens_nz[:-1] - 1)).astype(dt)
     return np.cumsum(out)

@@ -142,6 +142,23 @@ def _load():
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
         ]
+        try:
+            lib.samtpu_mpileup_text.restype = ctypes.c_int64
+            lib.samtpu_mpileup_text.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_void_p),
+                ctypes.POINTER(ctypes.c_int64),
+            ]
+            lib.samtpu_buf_free.restype = None
+            lib.samtpu_buf_free.argtypes = [ctypes.c_void_p]
+        except AttributeError:  # stale .so without the text writer
+            pass
         _lib = lib
     except OSError:
         _lib = None
@@ -391,3 +408,54 @@ def bench_depth(body: np.ndarray, tid: int, ref_len: int,
     if got < 0:
         raise ValueError("corrupt BAM record (bench depth)")
     return depth, int(got)
+
+
+def has_mpileup_text() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "samtpu_mpileup_text") \
+        and lib.samtpu_mpileup_text.argtypes is not None
+
+
+def mpileup_text(sub, ref: bytes | None, name: str, emit_beg: int,
+                 emit_end: int, all_mode: bool, bedmask, min_baseq: int,
+                 rev_del: int, no_ends: int, no_ins: int,
+                 no_del: int) -> bytes:
+    """Native single-file pileup text for one window (columnar batch in,
+    formatted rows out).  Counterpart of the numpy renderer in
+    tools/mpileup_cmd.py; byte-identical by construction (shared
+    grammar, cross-checked by the reg suites)."""
+    lib = _load()
+    pos = np.ascontiguousarray(sub.pos, np.int64)
+    flag = np.ascontiguousarray(sub.flag, np.uint16)
+    mapq = np.ascontiguousarray(sub.mapq, np.uint8)
+    cigar = np.ascontiguousarray(sub.cigar, np.uint32)
+    cigar_off = np.ascontiguousarray(sub.cigar_off, np.int64)
+    seq = np.ascontiguousarray(sub.seq, np.uint8)
+    qual = np.ascontiguousarray(sub.qual, np.uint8)
+    seq_off = np.ascontiguousarray(sub.seq_off, np.int64)
+    refarr = (np.frombuffer(ref, np.uint8) if ref is not None
+              else None)
+    nm = name.encode()
+    bm = (np.ascontiguousarray(bedmask, np.uint8)
+          if bedmask is not None else None)
+    outp = ctypes.c_void_p()
+    outn = ctypes.c_int64()
+    got = lib.samtpu_mpileup_text(
+        pos.ctypes.data, sub.n, flag.ctypes.data, mapq.ctypes.data,
+        cigar.ctypes.data, cigar_off.ctypes.data, seq.ctypes.data,
+        qual.ctypes.data, seq_off.ctypes.data,
+        refarr.ctypes.data if refarr is not None else None,
+        len(ref) if ref is not None else 0,
+        nm, len(nm), emit_beg, emit_end, 1 if all_mode else 0,
+        bm.ctypes.data if bm is not None else None,
+        min_baseq, rev_del, no_ends, no_ins, no_del,
+        ctypes.byref(outp), ctypes.byref(outn))
+    if got < 0:
+        raise ValueError("native mpileup text failed")
+    try:
+        if outn.value == 0:
+            return b""
+        return ctypes.string_at(outp.value, outn.value)
+    finally:
+        if outp.value:
+            lib.samtpu_buf_free(outp)

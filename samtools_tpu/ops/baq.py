@@ -338,6 +338,42 @@ def _retag(aux: np.ndarray, old: str, new: str, val: str) -> np.ndarray:
     return _append_tag(out, new, val)
 
 
+_REF_INT_CACHE: dict = {}   # id(ref bytes) -> (ref, ref_int)
+_REF_DEV_CACHE: dict = {}   # id(ref_int) -> (ref_int, device array)
+
+
+def _ref_ints(ref: bytes) -> np.ndarray:
+    """Contig 0-15 nt16 codes, cached per ref-bytes object (streamed
+    windows re-enter with the same contig every window)."""
+    ent = _REF_INT_CACHE.get(id(ref))
+    if ent is not None and ent[0] is ref:
+        return ent[1]
+    if len(_REF_INT_CACHE) > 4:
+        _REF_INT_CACHE.clear()
+    from ..io.sam_text import NT16_LUT
+    refarr = np.frombuffer(ref, np.uint8)
+    ref_int = np.ascontiguousarray(NT16_INT[NT16_LUT[refarr]], np.uint8)
+    _REF_INT_CACHE[id(ref)] = (ref, ref_int)
+    return ref_int
+
+
+def _ref_dev_cached(ref_int: np.ndarray):
+    """Device-resident contig codes, uploaded once per contig."""
+    try:
+        import jax
+        import jax.numpy as jnp
+    except Exception:
+        return None
+    ent = _REF_DEV_CACHE.get(id(ref_int))
+    if ent is not None and ent[0] is ref_int:
+        return ent[1]
+    if len(_REF_DEV_CACHE) > 4:
+        _REF_DEV_CACHE.clear()
+    dev = jax.device_put(jnp.asarray(ref_int, jnp.uint8))
+    _REF_DEV_CACHE[id(ref_int)] = (ref_int, dev)
+    return dev
+
+
 def apply_baq_batch(sub, ref: bytes, ref_len: int, redo: bool = False):
     """Apply BAQ in place to a sub-batch on one contig (mplp_func order:
     per read, flag 3 or 7).
@@ -347,9 +383,7 @@ def apply_baq_batch(sub, ref: bytes, ref_len: int, redo: bool = False):
     tag-bearing reads and the tag-append bookkeeping stay in Python."""
     if sub.n == 0:
         return
-    from ..io.sam_text import NT16_LUT
-    refarr = np.frombuffer(ref, np.uint8)
-    ref_int = NT16_INT[NT16_LUT[refarr]]
+    ref_int = _ref_ints(ref)
     flag = 7 if redo else 3
 
     native_done = _apply_baq_native(sub, ref_int, flag)
@@ -444,14 +478,76 @@ def _gather_cigar(sub, rows):
     return sub.cigar[ragged_gather_indices(sub.cigar_off[rows], lens)]
 
 
+_D2H_RATE = None
+_D2H_CACHE = "/tmp/samtpu_d2h_rate.json"
+_D2H_TTL = 900.0
+
+
+def _d2h_rate_cached():
+    """Last measured d2h rate from the cross-process cache (bytes/s),
+    or None when stale/absent.  Lets short CLI runs skip jax init
+    entirely when the link was recently probed slow."""
+    try:
+        import json
+        import time
+        with open(_D2H_CACHE) as fh:
+            st = json.load(fh)
+        if time.time() - st["t"] < _D2H_TTL:
+            return float(st["rate"])
+    except Exception:
+        pass
+    return None
+
+
+def _d2h_rate() -> float:
+    """Measured device->host throughput (bytes/s), probed once per
+    process with a 1 MB fetch (cached on disk for 15 min).  The
+    BAQ-apply path must ship every read's adjusted quals back to the
+    host for text assembly, so on a slow link (tunnelled transports dip
+    to single-digit MB/s) the device loses to the native host HMM
+    regardless of kernel speed."""
+    global _D2H_RATE
+    if _D2H_RATE is None:
+        try:
+            import json
+            import time
+
+            import jax
+            import jax.numpy as jnp
+            x = jax.device_put(jnp.zeros((1 << 20,), jnp.uint8))
+            jax.block_until_ready(x)
+            t0 = time.perf_counter()
+            jax.device_get(x)
+            _D2H_RATE = (1 << 20) / max(time.perf_counter() - t0, 1e-6)
+            try:
+                with open(_D2H_CACHE + ".tmp", "w") as fh:
+                    json.dump({"rate": _D2H_RATE, "t": time.time()}, fh)
+                import os
+                os.replace(_D2H_CACHE + ".tmp", _D2H_CACHE)
+            except OSError:
+                pass
+        except Exception:
+            _D2H_RATE = 0.0
+    return _D2H_RATE
+
+
 def _apply_baq_device(sub, ref_int: np.ndarray, done: np.ndarray) -> None:
     """Route uniform all-M length groups through the device pair-HMM
     (ops.baq_device); rounding-risky reads stay for the host pass.
     Marks handled reads in ``done``."""
     from ..engine import use_device
+    import os
+    forced = os.environ.get("SAMTPU_DEVICE") in ("1", "device", "force")
+    min_rate = float(os.environ.get("SAMTPU_D2H_MIN_MBPS", "50")) * 1e6
+    if not forced:
+        cached = _d2h_rate_cached()
+        if cached is not None and cached < min_rate:
+            return  # link recently probed too slow (no jax init needed)
     total_bases = int(sub.seq_off[-1])
     if not use_device(total_bases):
         return
+    if not forced and _d2h_rate() < min_rate:
+        return  # link too slow for the qual fetch; host HMM wins
     try:
         from . import baq_device
     except Exception:
@@ -473,14 +569,15 @@ def _apply_baq_device(sub, ref_int: np.ndarray, done: np.ndarray) -> None:
         if grp.size < 2048:
             continue
         base = sub.seq_off[grp]
-        seq4 = NT16_INT[sub.seq[base[:, None]
-                                + np.arange(L)[None, :]]].astype(np.uint8)
-        qual = sub.qual[base[:, None] + np.arange(L)[None, :]]
+        idx2 = base[:, None] + np.arange(L)[None, :]
+        seq_nt16 = sub.seq[idx2]
+        qual = sub.qual[idx2]
         from ..core import metrics
         with metrics.stage("device.baq", grp.size, "reads"):
-            out, risky = baq_device.baq_apply_device(
+            out, risky = baq_device.baq_apply_device_nt16(
                 np.ascontiguousarray(ref_int, np.uint8),
-                sub.pos[grp].astype(np.int64), seq4, qual, L)
+                sub.pos[grp].astype(np.int64), seq_nt16, qual, L,
+                ref_dev=_ref_dev_cached(ref_int))
         ok = ~risky
         rows = grp[ok]
         if rows.size:

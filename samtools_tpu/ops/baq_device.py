@@ -281,6 +281,83 @@ def _finalize(bq, good, qual, l_query: int):
     return (q - fbq).astype(jnp.uint8)
 
 
+_FUSED_APPLY = None
+
+
+def _get_fused_apply():
+    """One jitted launch per chunk: buf unpack (pos | nt16 seq | qual) +
+    ref-window gather + banded HMM + finalize.  Eager per-chunk jnp ops
+    each cost a device dispatch round trip — ruinous on high-latency
+    links — so everything between the single h2d and the batched d2h
+    must live in one executable (the design of mpileup_device's
+    chunk_step, reused here for the plain BAQ-apply path)."""
+    global _FUSED_APPLY
+    if _FUSED_APPLY is not None:
+        return _FUSED_APPLY
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("l_query", "l_ref", "bw"))
+    def fused(ref_dev, buf, l_query: int, l_ref: int, bw: int):
+        pb = buf[:, :4].astype(jnp.int32)
+        pc = pb[:, 0] | (pb[:, 1] << 8) | (pb[:, 2] << 16) \
+            | (pb[:, 3] << 24)
+        nt16 = buf[:, 4:4 + l_query]
+        sq = jnp.where(nt16 == 1, 0,
+                       jnp.where(nt16 == 2, 1,
+                                 jnp.where(nt16 == 4, 2,
+                                           jnp.where(nt16 == 8, 3, 4)))
+                       ).astype(jnp.uint8)
+        qq = buf[:, 4 + l_query:4 + 2 * l_query]
+        idx = jnp.minimum(pc, ref_dev.shape[0] - 1)[:, None] \
+            + jnp.arange(l_ref)[None, :]
+        ref_win = ref_dev[jnp.clip(idx, 0, ref_dev.shape[0] - 1)]
+        diag = jnp.zeros(pc.shape[0], jnp.int32)
+        bq, good, risky = _probaln_batch(ref_win, sq, qq, diag,
+                                         l_query, l_ref, bw)
+        appq = _finalize(bq, good, qq, l_query)
+        return appq, risky
+
+    _FUSED_APPLY = fused
+    return fused
+
+
+def baq_apply_device_nt16(ref_int: np.ndarray, pos: np.ndarray,
+                          seq_nt16: np.ndarray, qual: np.ndarray,
+                          l_query: int, bw: int = 7,
+                          ref_dev=None, chunk: int = 1 << 16):
+    """Device BAQ over a uniform batch of all-M reads given raw nt16
+    codes ([B, l_query] uint8).  One packed h2d + one fused launch per
+    chunk; ONE d2h for the whole batch.  Returns (applied uint8[B,L],
+    risky bool[B])."""
+    import jax
+    import jax.numpy as jnp
+    l_ref = l_query + bw // 2
+    B = pos.shape[0]
+    if ref_dev is None:
+        ref_dev = jax.device_put(jnp.asarray(ref_int, jnp.uint8))
+    fused = _get_fused_apply()
+    outs, risks = [], []
+    for lo in range(0, B, chunk):
+        hi = min(lo + chunk, B)
+        n = hi - lo
+        npad = chunk if n < chunk and B > chunk else n
+        buf = np.zeros((npad, 4 + 2 * l_query), np.uint8)
+        buf[:n, :4] = pos[lo:hi].astype("<i4").view(np.uint8) \
+            .reshape(n, 4)
+        buf[:n, 4:4 + l_query] = seq_nt16[lo:hi]
+        buf[:n, 4 + l_query:] = qual[lo:hi]
+        appq, rk = fused(ref_dev, jax.device_put(buf), l_query, l_ref,
+                         bw)
+        outs.append(appq[:n] if n < npad else appq)
+        risks.append(rk[:n] if n < npad else rk)
+    allq = jnp.concatenate(outs) if len(outs) > 1 else outs[0]
+    allr = jnp.concatenate(risks) if len(risks) > 1 else risks[0]
+    out, risky = jax.device_get((allq, allr))
+    return np.asarray(out), np.asarray(risky)
+
+
 def baq_apply_device(ref_int: np.ndarray, pos: np.ndarray,
                      seq4: np.ndarray, qual: np.ndarray,
                      l_query: int, bw: int = 7,
@@ -300,8 +377,12 @@ def baq_apply_device(ref_int: np.ndarray, pos: np.ndarray,
     B = pos.shape[0]
     if ref_dev is None:
         ref_dev = jax.device_put(jnp.asarray(ref_int, jnp.uint8))
-    out = np.empty((B, l_query), np.uint8)
-    risky = np.empty(B, bool)
+    # dispatch every chunk asynchronously, fetch ONCE at the end: the
+    # host<->device link charges heavy per-transfer latency (tunnelled
+    # transports especially), so per-chunk np.asarray sync round trips
+    # dominate wall clock long before bandwidth does
+    outs = []
+    risks = []
     for lo in range(0, B, chunk):
         hi = min(lo + chunk, B)
         n = hi - lo
@@ -319,6 +400,10 @@ def baq_apply_device(ref_int: np.ndarray, pos: np.ndarray,
                                       jnp.asarray(qq), diag,
                                       l_query, l_ref, bw)
         applied = _finalize(bq, good, jnp.asarray(qq), l_query)
-        out[lo:hi] = np.asarray(applied)[:n]
-        risky[lo:hi] = np.asarray(rk)[:n]
-    return out, risky
+        outs.append(applied[:n] if n < npad else applied)
+        risks.append(rk[:n] if n < npad else rk)
+    allq = jnp.concatenate(outs) if len(outs) > 1 else outs[0]
+    allr = jnp.concatenate(risks) if len(risks) > 1 else risks[0]
+    import jax
+    out, risky = jax.device_get((allq, allr))
+    return np.asarray(out), np.asarray(risky)

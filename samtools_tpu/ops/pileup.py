@@ -51,10 +51,18 @@ class Pileup:
     col_off: np.ndarray = field(default_factory=lambda: np.empty(0, np.int64))
 
 
+_ENTRY_LUT = np.zeros(16, bool)
+for _o in _ENTRY_OPS:
+    _ENTRY_LUT[_o] = True
+_M_LUT = np.zeros(16, bool)
+for _o in (F.CMATCH, F.CEQUAL, F.CDIFF):
+    _M_LUT[_o] = True
+
+
 def build_pileup(sub) -> Pileup:
     """Build the pileup table for one contig's reads (file order)."""
     t = expand_ops(sub)
-    emit = np.isin(t.op, _ENTRY_OPS)
+    emit = _ENTRY_LUT[t.op]
     lens = np.where(emit, t.oplen, 0)
     total = int(lens.sum())
     if total == 0:
@@ -67,14 +75,13 @@ def build_pileup(sub) -> Pileup:
     e_ops = np.nonzero(emit)[0]
     e_len = t.oplen[e_ops]
     pos = ragged_gather_indices(t.rpos[e_ops], e_len)
-    rid = np.repeat(t.rid[e_ops], e_len)
-    opk = np.repeat(e_ops, e_len)
-    is_m = np.isin(t.op[e_ops], (F.CMATCH, F.CEQUAL, F.CDIFF))
+    rid = np.repeat(t.rid[e_ops].astype(np.int32), e_len)
+    is_m = _M_LUT[t.op[e_ops]]
     is_m_e = np.repeat(is_m, e_len)
     # query pos: advancing within M ops, frozen at op start within D/N
     qpos_adv = ragged_gather_indices(t.qpos[e_ops], e_len)
     qpos_frozen = np.repeat(t.qpos[e_ops], e_len)
-    qpos = np.where(is_m_e, qpos_adv, qpos_frozen)
+    qpos = np.where(is_m_e, qpos_adv, qpos_frozen).astype(np.int32)
     is_del = ~is_m_e
     is_refskip = np.repeat(t.op[e_ops] == F.CREF_SKIP, e_len)
 
@@ -82,7 +89,7 @@ def build_pileup(sub) -> Pileup:
     is_head = pos == sub.pos[rid]
     is_tail = pos == end[rid] - 1
 
-    indel = np.zeros(total, np.int64)
+    indel = np.zeros(total, np.int32)
     ins: dict = {}
 
     n_ops = t.op.size
@@ -188,13 +195,24 @@ def _device_stable_order(pos: np.ndarray) -> np.ndarray:
 def _finish(p: Pileup) -> Pileup:
     if p.n_entries == 0:
         return p
-    from ..engine import use_device
+    import os
     from ..core import metrics
-    if use_device(p.n_entries):
+    if os.environ.get("SAMTPU_DEVICE") in ("1", "device", "force"):
+        # forced-device runs exercise the accelerator sort path (tests);
+        # auto mode keeps this op on the host: a 30M-key window moves
+        # ~250 MB of keys+order, which loses to a ~1 s host radix sort
+        # on any link slower than ~GB/s
         with metrics.stage("device.pileup_sort", p.n_entries, "entries"):
             order = _device_stable_order(p.pos)
     else:
-        order = np.lexsort((np.arange(p.n_entries), p.pos))
+        # stable integer sort on window-relative int32 keys
+        base = int(p.pos.min())
+        span = int(p.pos.max()) - base
+        if span < (1 << 31) - 1:
+            order = np.argsort((p.pos - base).astype(np.int32),
+                               kind="stable")
+        else:
+            order = np.argsort(p.pos, kind="stable")
     for f in ("pos", "rid", "qpos", "is_del", "is_refskip", "is_head",
               "is_tail", "indel"):
         setattr(p, f, getattr(p, f)[order])
@@ -202,6 +220,8 @@ def _finish(p: Pileup) -> Pileup:
         inv = np.empty(p.n_entries, np.int64)
         inv[order] = np.arange(p.n_entries)
         p.ins = {int(inv[k]): v for k, v in p.ins.items()}
-    p.col_pos, starts = np.unique(p.pos, return_index=True)
-    p.col_off = np.append(starts, p.n_entries)
+    # column boundaries from the sorted key run ends (no hashing)
+    bnd = np.flatnonzero(np.diff(p.pos)) + 1
+    p.col_pos = p.pos[np.concatenate(([0], bnd))]
+    p.col_off = np.concatenate(([0], bnd, [p.n_entries]))
     return p

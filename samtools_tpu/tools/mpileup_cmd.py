@@ -114,20 +114,39 @@ def usage(fp):
 class FileState:
     """Per-input-file pileup state for one contig."""
 
-    def __init__(self, sub, pileup, entry_str, qual_chars, pass_q):
+    def __init__(self, sub, pileup, piece_flat, piece_off, qual_chars,
+                 pass_q):
         self.sub = sub
         self.p = pileup
-        self.entry_str = entry_str
+        self.piece_flat = piece_flat   # uint8 flat of per-entry strings
+        self.piece_off = piece_off     # int64[n_entries+1]
         self.qual_chars = qual_chars
         self.pass_q = pass_q
-        # column lookup
-        self.pos2col = {int(p): i for i, p in enumerate(pileup.col_pos)}
+        self._pos2col = None
+
+    @property
+    def pos2col(self):
+        # column lookup (slow per-column path only; the bulk renderer
+        # maps positions with one searchsorted instead)
+        if self._pos2col is None:
+            self._pos2col = {int(p): i
+                             for i, p in enumerate(self.p.col_pos)}
+        return self._pos2col
+
+    def entry_bytes(self, i: int) -> str:
+        return bytes(self.piece_flat[self.piece_off[i]:
+                                     self.piece_off[i + 1]]) \
+            .decode("latin-1")
 
 
-def build_entry_strings(sub, p, ref: bytes | None, ref_len: int,
-                        conf) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Vectorized entry rendering: per entry the seq-string piece, the qual
-    char, and the min-BQ pass mask."""
+def build_entry_pieces(sub, p, ref: bytes | None, ref_len: int, conf):
+    """Vectorized entry rendering: per entry the seq-string piece bytes
+    (flat uint8 + offsets), the qual char, and the min-BQ pass mask.
+
+    Plain entries (incl. ^q heads / $ tails) are rendered with pure
+    array scatters; only entries carrying an indel anchor or a base
+    modification drop to the Python string builder (pileup_seq's rare
+    branches, bam_plcmd.c:86-169)."""
     n = p.n_entries
     rev = (sub.flag[p.rid] & F.FREVERSE) != 0
     lq = sub.l_qseq[p.rid]
@@ -169,76 +188,101 @@ def build_entry_strings(sub, p, ref: bytes | None, ref_len: int,
     if want_mods:
         mods_by_rid = basemods.batch_mods(sub, p.rid)
         if mods_by_rid:
-            for i in range(n):
+            mod_rows = np.nonzero(np.isin(
+                p.rid, np.fromiter(mods_by_rid, np.int64,
+                                   len(mods_by_rid))))[0]
+            for i in mod_rows:
                 m = mods_by_rid.get(int(p.rid[i]))
                 if m is not None and not p.is_del[i] \
                         and int(p.qpos[i]) in m:
                     has_mod[i] = True
 
-    # assemble per-entry strings (object array); vector fast-path for
-    # plain single-char entries
-    plain = (~p.is_head) & (~p.is_tail) & (p.indel == 0) & (~has_mod)
-    out = np.empty(n, object)
-    pl = np.nonzero(plain)[0]
-    chr_lut = [chr(i) for i in range(256)]
-    for i in pl:
-        out[i] = chr_lut[ch[i]]
     no_ends = conf["no_ends"]
-    no_ins = conf["no_ins"]
-    no_del = conf["no_del"]
-    no_ins_mods = conf["no_ins_mods"] or no_ins
-    for i in np.nonzero(~plain)[0]:
-        rmods = mods_by_rid.get(int(p.rid[i])) if want_mods else None
-        s = []
-        if p.is_head[i] and not no_ends:
-            s.append("^")
-            s.append(chr_lut[mq[i]])
-        s.append(chr_lut[ch[i]])
-        if rmods is not None and not p.is_del[i]:
-            lst = rmods.get(int(p.qpos[i]))
-            if lst:
-                s.append(basemods.format_mods(lst))
-        ind = int(p.indel[i])
-        del_len = -ind
-        if ind > 0:
-            ins_str, del_after, ins_qpos = p.ins.get(int(i), ("", 0, []))
-            del_len = del_after
-            if no_ins < 2:
-                s.append("+")
-                s.append(str(len(ins_str)))
-            if not no_ins:
-                ins_mods = (rmods if (rmods is not None and
-                                      not no_ins_mods) else None)
-                if rev[i]:
-                    pad = "#" if conf["rev_del"] else "*"
-                    for k, c in enumerate(ins_str):
-                        s.append(pad if c == "*" else c.lower())
-                        if ins_mods is not None and ins_qpos[k] >= 0:
-                            lst = ins_mods.get(ins_qpos[k])
-                            if lst:
-                                s.append(basemods.format_mods(lst))
-                else:
-                    for k, c in enumerate(ins_str):
-                        s.append(c.upper())
-                        if ins_mods is not None and ins_qpos[k] >= 0:
-                            lst = ins_mods.get(ins_qpos[k])
-                            if lst:
-                                s.append(basemods.format_mods(lst))
-        if del_len > 0:
-            if no_del < 2:
-                s.append(str(-del_len))
-            if not no_del:
-                refpart = []
-                for j in range(1, del_len + 1):
-                    pj = int(p.pos[i]) + j
-                    c = chr(ref[pj]) if (ref is not None and pj < ref_len) \
-                        else "N"
-                    refpart.append(c.lower() if rev[i] else c.upper())
-                s.append("".join(refpart))
-        if p.is_tail[i] and not no_ends:
-            s.append("$")
-        out[i] = "".join(s)
-    return out, qch, pass_q
+    special = (p.indel != 0) | has_mod
+    headv = p.is_head & (not no_ends)
+    tailv = p.is_tail & (not no_ends)
+    lens = (1 + 2 * (headv & ~special) + (tailv & ~special)) \
+        .astype(np.int64)
+    spec_idx = np.nonzero(special)[0]
+    spec_strs: list[bytes] = []
+    if spec_idx.size:
+        chr_lut = [chr(i) for i in range(256)]
+        no_ins = conf["no_ins"]
+        no_del = conf["no_del"]
+        no_ins_mods = conf["no_ins_mods"] or no_ins
+        for i in spec_idx:
+            rmods = mods_by_rid.get(int(p.rid[i])) if want_mods else None
+            s = []
+            if p.is_head[i] and not no_ends:
+                s.append("^")
+                s.append(chr_lut[mq[i]])
+            s.append(chr_lut[ch[i]])
+            if rmods is not None and not p.is_del[i]:
+                lst = rmods.get(int(p.qpos[i]))
+                if lst:
+                    s.append(basemods.format_mods(lst))
+            ind = int(p.indel[i])
+            del_len = -ind
+            if ind > 0:
+                ins_str, del_after, ins_qpos = p.ins.get(int(i),
+                                                         ("", 0, []))
+                del_len = del_after
+                if no_ins < 2:
+                    s.append("+")
+                    s.append(str(len(ins_str)))
+                if not no_ins:
+                    ins_mods = (rmods if (rmods is not None and
+                                          not no_ins_mods) else None)
+                    if rev[i]:
+                        pad = "#" if conf["rev_del"] else "*"
+                        for k, c in enumerate(ins_str):
+                            s.append(pad if c == "*" else c.lower())
+                            if ins_mods is not None and ins_qpos[k] >= 0:
+                                lst = ins_mods.get(ins_qpos[k])
+                                if lst:
+                                    s.append(basemods.format_mods(lst))
+                    else:
+                        for k, c in enumerate(ins_str):
+                            s.append(c.upper())
+                            if ins_mods is not None and ins_qpos[k] >= 0:
+                                lst = ins_mods.get(ins_qpos[k])
+                                if lst:
+                                    s.append(basemods.format_mods(lst))
+            if del_len > 0:
+                if no_del < 2:
+                    s.append(str(-del_len))
+                if not no_del:
+                    refpart = []
+                    for j in range(1, del_len + 1):
+                        pj = int(p.pos[i]) + j
+                        c = chr(ref[pj]) if (ref is not None
+                                             and pj < ref_len) else "N"
+                        refpart.append(c.lower() if rev[i] else c.upper())
+                    s.append("".join(refpart))
+            if p.is_tail[i] and not no_ends:
+                s.append("$")
+            sb = "".join(s).encode("latin-1")
+            spec_strs.append(sb)
+            lens[i] = len(sb)
+
+    off = np.zeros(n + 1, np.int64)
+    np.cumsum(lens, out=off[1:])
+    flat = np.empty(int(off[-1]), np.uint8)
+    pl = ~special
+    ph = pl & headv
+    # base char lands after the optional ^q prefix
+    flat[off[:-1][pl] + 2 * ph[pl]] = ch[pl]
+    if ph.any():
+        hidx = off[:-1][ph]
+        flat[hidx] = ord("^")
+        flat[hidx + 1] = mq[ph]
+    pt = pl & tailv
+    if pt.any():
+        flat[off[:-1][pt] + 2 * ph[pt] + 1] = ord("$")
+    for k, i in enumerate(spec_idx):
+        sb = spec_strs[k]
+        flat[off[i]:off[i] + len(sb)] = np.frombuffer(sb, np.uint8)
+    return flat, off, qch, pass_q
 
 
 def _read_filter(f, conf, bedidx, header):
@@ -521,6 +565,139 @@ def _empty_row(name: str, pos: int, ref: bytes | None, ref_len: int,
     return f"{name}\t{pos + 1}\t{refc}" + percol * nf + "\n"
 
 
+def _itoa(vals: np.ndarray):
+    """Vectorized non-negative decimal rendering.
+
+    Returns (flat uint8 digits, digit counts int64, offsets int64[n+1])."""
+    v = np.asarray(vals, np.int64)
+    nd = np.ones(v.size, np.int64)
+    t = 10
+    while t <= (int(v.max()) if v.size else 0):
+        nd[v >= t] += 1
+        t *= 10
+    off = np.zeros(v.size + 1, np.int64)
+    np.cumsum(nd, out=off[1:])
+    flat = np.empty(int(off[-1]), np.uint8)
+    end = off[1:] - 1
+    rem = v.copy()
+    for d in range(int(nd.max(initial=0))):
+        act = nd > d
+        flat[end[act] - d] = 48 + (rem[act] % 10)
+        rem[act] //= 10
+    return flat, nd, off
+
+
+def _ragged_scatter(buf, cur, lens, src_flat, src_off):
+    """buf[cur[i] : cur[i]+lens[i]] = src_flat[src_off[i] : +lens[i]],
+    vectorized over all i (rows with lens 0 contribute nothing)."""
+    from ..core.batch import ragged_gather_indices
+    total = int(lens.sum())
+    if total == 0:
+        return
+    tgt = ragged_gather_indices(cur, lens)
+    src = ragged_gather_indices(src_off, lens)
+    buf[tgt] = src_flat[src]
+
+
+def _render_rows(emitpos: np.ndarray, states, name: str,
+                 ref: bytes | None, ref_len: int, conf) -> np.ndarray:
+    """Assemble one window's pileup text as a single byte buffer.
+
+    Replaces the reference's per-column fwrite loop (bam_plcmd.c:607-863)
+    with bulk array scatters: every field's bytes and offsets are
+    computed vectorized over all emitted rows, then written into one
+    preallocated uint8 buffer.  Rows follow the default-column grammar
+    (extra output columns take the per-column path instead)."""
+    nrow = emitpos.size
+    name_b = np.frombuffer(name.encode(), np.uint8)
+    if ref is not None:
+        refarr = np.frombuffer(ref, np.uint8)
+        refc = np.where(emitpos < ref_len,
+                        refarr[np.minimum(emitpos, max(ref_len - 1, 0))],
+                        ord("N")).astype(np.uint8)
+    else:
+        refc = np.full(nrow, ord("N"), np.uint8)
+    pos_flat, pos_nd, pos_off = _itoa(emitpos + 1)
+
+    per_file = []
+    row_len = np.full(nrow, len(name_b) + 3 + 1, np.int64) + pos_nd
+    for s in states:
+        p = s.p
+        ncols = p.col_pos.size
+        if ncols:
+            ci = np.searchsorted(p.col_pos, emitpos)
+            cic = np.minimum(ci, ncols - 1)
+            pres = (ci < ncols) & (p.col_pos[cic] == emitpos)
+            lo = np.where(pres, p.col_off[cic], 0)
+            hi = np.where(pres, p.col_off[np.minimum(cic + 1, ncols)], 0)
+        else:
+            lo = hi = np.zeros(nrow, np.int64)
+        # cumulative passing-entry counts / piece lengths
+        cq = np.zeros(p.n_entries + 1, np.int64)
+        np.cumsum(s.pass_q, out=cq[1:])
+        piece_len = s.piece_off[1:] - s.piece_off[:-1]
+        cl = np.zeros(p.n_entries + 1, np.int64)
+        np.cumsum(piece_len * s.pass_q, out=cl[1:])
+        cnt = cq[hi] - cq[lo]
+        seq_lo = cl[lo]
+        seq_len = cl[hi] - cl[lo]
+        qual_lo = cq[lo]
+        # compact passing pieces / qual chars (offsets = cl / cq)
+        pidx = np.nonzero(s.pass_q)[0]
+        from ..core.batch import ragged_gather_indices
+        pflat = s.piece_flat[ragged_gather_indices(
+            s.piece_off[:-1][pidx], piece_len[pidx])]
+        pqch = s.qual_chars[pidx]
+        cnt_flat, cnt_nd, cnt_off = _itoa(cnt)
+        seq_fld = np.where(cnt > 0, seq_len, 1)
+        qual_fld = np.where(cnt > 0, cnt, 1)
+        row_len += 3 + cnt_nd + seq_fld + qual_fld
+        per_file.append((cnt, cnt_flat, cnt_nd, cnt_off, pflat, seq_lo,
+                         seq_len, pqch, qual_lo))
+
+    row_off = np.zeros(nrow + 1, np.int64)
+    np.cumsum(row_len, out=row_off[1:])
+    buf = np.empty(int(row_off[-1]), np.uint8)
+    cur = row_off[:-1].copy()
+    # name
+    if len(name_b):
+        tgt = cur[:, None] + np.arange(len(name_b))[None, :]
+        buf[tgt.reshape(-1)] = np.tile(name_b, nrow)
+        cur += len(name_b)
+    buf[cur] = 9
+    cur += 1
+    _ragged_scatter(buf, cur, pos_nd, pos_flat, pos_off[:-1])
+    cur += pos_nd
+    buf[cur] = 9
+    buf[cur + 1] = refc
+    cur += 2
+    star = np.frombuffer(b"*", np.uint8)
+    zero_off = np.zeros(nrow, np.int64)
+    for (cnt, cnt_flat, cnt_nd, cnt_off, pflat, seq_lo, seq_len,
+         pqch, qual_lo) in per_file:
+        buf[cur] = 9
+        cur += 1
+        _ragged_scatter(buf, cur, cnt_nd, cnt_flat, cnt_off[:-1])
+        cur += cnt_nd
+        buf[cur] = 9
+        cur += 1
+        nz = cnt > 0
+        _ragged_scatter(buf, cur, np.where(nz, seq_len, 0), pflat, seq_lo)
+        if not nz.all():
+            _ragged_scatter(buf, cur, (~nz).astype(np.int64), star,
+                            zero_off)
+        cur += np.where(nz, seq_len, 1)
+        buf[cur] = 9
+        cur += 1
+        _ragged_scatter(buf, cur, np.where(nz, cnt, 0), pqch, qual_lo)
+        if not nz.all():
+            _ragged_scatter(buf, cur, (~nz).astype(np.int64), star,
+                            zero_off)
+        cur += np.where(nz, cnt, 1)
+    buf[cur] = 10
+    return buf
+
+
 def _checkpoint_sig(paths):
     sig = []
     for p in paths:
@@ -629,25 +806,51 @@ def _run_pileup(files, paths, header, conf, region, bedidx, fai, out) -> int:
     else:
         windows = _slurped_windows()
 
+    # native text fast path: single file, default columns (the numpy
+    # renderer below is the portable fallback and the parity oracle)
+    native_fast = (nf == 1 and conf["flag_cols"] == 0
+                   and not conf["auxtags"]
+                   and os.environ.get("SAMTPU_NATIVE_TEXT", "1") != "0")
+    if native_fast:
+        try:
+            from ..io import native as _nat
+            native_fast = _nat.has_mpileup_text()
+        except Exception:
+            native_fast = False
+
     for tid, wb, we, subs in windows:
         name = header.ref_names[tid]
-        # assemble per-file states for this window
-        states = [_prepare_file_state(sub, conf, tid, get_ref, files, f,
-                                      wb=wb, we=we)
-                  for sub, f in zip(subs, files)]
-        # merged column positions
-        col_sets = [s.p.col_pos for s in states if s.p.n_entries]
-        if not col_sets:
-            continue
-        allpos = np.unique(np.concatenate(col_sets))
-        if wb is not None:
-            # window ownership: halo reads contribute entries outside
-            # [wb, we); those columns belong to neighboring windows
-            allpos = allpos[(allpos >= wb) & (allpos < we)]
-        if region is not None:
-            allpos = allpos[(allpos >= beg0) & (allpos < end0)]
-        if allpos.size == 0:
-            continue
+        if native_fast:
+            states = None
+            nat_sub, _, _ = _prepare_sub(subs[0], conf, tid, get_ref,
+                                         files[0], wb, we)
+            if nat_sub.n == 0:
+                continue
+            data_hi = int(nat_sub.end_pos().max())
+            data_lo = int(nat_sub.pos.min())
+            e_end = min(we if we is not None else 1 << 62, end0, data_hi)
+            first_cov = max(data_lo, wb if wb is not None else 0, beg0)
+            if first_cov >= e_end:
+                continue
+        else:
+            # assemble per-file states for this window
+            states = [_prepare_file_state(sub, conf, tid, get_ref,
+                                          files, f, wb=wb, we=we)
+                      for sub, f in zip(subs, files)]
+            # merged column positions
+            col_sets = [s.p.col_pos for s in states if s.p.n_entries]
+            if not col_sets:
+                continue
+            allpos = np.unique(np.concatenate(col_sets))
+            if wb is not None:
+                # window ownership: halo reads contribute entries
+                # outside [wb, we); those columns belong to neighboring
+                # windows
+                allpos = allpos[(allpos >= wb) & (allpos < we)]
+            if region is not None:
+                allpos = allpos[(allpos >= beg0) & (allpos < end0)]
+            if allpos.size == 0:
+                continue
         one_seq = True
 
         # -a: fill previous tids
@@ -669,27 +872,75 @@ def _run_pileup(files, paths, header, conf, region, bedidx, fai, out) -> int:
         ref, ref_len = get_ref(tid)
         last_tid = tid
 
-        for pos in allpos.tolist():
+        bulk_ok = ((conf["flag_cols"] & ~COL_MODS) == 0
+                   and not conf["auxtags"])
+        if native_fast:
             if conf["all"]:
-                r0 = last_pos + 1
-                for pp in range(r0, pos):
-                    if region is not None and pp < beg0:
-                        continue
-                    if bedidx is not None and not bedidx.overlap_one(
-                            name, pp, pp + 1):
-                        continue
-                    w(_empty_row(name, pp, ref, ref_len, nf, conf))
-                last_pos = pos
-            if bedidx is not None and not bedidx.overlap_one(name, pos,
-                                                             pos + 1):
-                continue
-            refc = chr(ref[pos]) if (ref is not None and pos < ref_len) \
-                else "N"
-            row = [name, "\t", str(pos + 1), "\t", refc]
-            for s in states:
-                _append_file_column(row, s, pos, conf, header)
-            row.append("\n")
-            w("".join(row))
+                e_beg = min(max(last_pos + 1, beg0), first_cov)
+                last_pos = e_end - 1
+            else:
+                e_beg = first_cov
+            mask = None
+            if bedidx is not None:
+                rng = np.arange(e_beg, e_end, dtype=np.int64)
+                mask = bedidx.overlap(name, rng, rng + 1)
+            from ..io import native as _nat
+            text = _nat.mpileup_text(
+                nat_sub, ref, name, e_beg, e_end, conf["all"] > 0, mask,
+                conf["min_baseQ"], conf["rev_del"], conf["no_ends"],
+                conf["no_ins"], conf["no_del"])
+            if text:
+                outb = getattr(out, "buffer", None)
+                if outb is not None:
+                    out.flush()
+                    outb.write(text)
+                else:
+                    out.write(text.decode("latin-1"))
+        elif bulk_ok:
+            if conf["all"]:
+                start = last_pos + 1
+                if region is not None:
+                    start = max(start, beg0)
+                start = min(start, int(allpos[0]))
+                emitpos = np.arange(start, int(allpos[-1]) + 1,
+                                    dtype=np.int64)
+                last_pos = int(allpos[-1])
+            else:
+                emitpos = allpos
+            if bedidx is not None and emitpos.size:
+                emitpos = emitpos[bedidx.overlap(name, emitpos,
+                                                 emitpos + 1)]
+            if emitpos.size:
+                mem = _render_rows(emitpos, states, name, ref, ref_len,
+                                   conf)
+                outb = getattr(out, "buffer", None)
+                if outb is not None:
+                    out.flush()
+                    outb.write(mem.tobytes())
+                else:
+                    out.write(mem.tobytes().decode("latin-1"))
+        else:
+            for pos in allpos.tolist():
+                if conf["all"]:
+                    r0 = last_pos + 1
+                    for pp in range(r0, pos):
+                        if region is not None and pp < beg0:
+                            continue
+                        if bedidx is not None and not bedidx.overlap_one(
+                                name, pp, pp + 1):
+                            continue
+                        w(_empty_row(name, pp, ref, ref_len, nf, conf))
+                    last_pos = pos
+                if bedidx is not None and not bedidx.overlap_one(
+                        name, pos, pos + 1):
+                    continue
+                refc = chr(ref[pos]) if (ref is not None
+                                         and pos < ref_len) else "N"
+                row = [name, "\t", str(pos + 1), "\t", refc]
+                for s in states:
+                    _append_file_column(row, s, pos, conf, header)
+                row.append("\n")
+                w("".join(row))
         if ck_path and cursors is not None and wb is not None:
             out.flush()
             st = {"sig": _checkpoint_sig(paths), "tid": tid, "wb": we,
@@ -726,7 +977,10 @@ def _run_pileup(files, paths, header, conf, region, bedidx, fai, out) -> int:
     return 0
 
 
-WINDOW_COLS = 4 << 20  # streamed pileup window (columns per block)
+# streamed pileup window (columns per block): sized so one window's
+# entry table (~30 reads/col x 1M cols) reuses the same heap buffers
+# every window (see core/malloc_tune.py) instead of growing the peak
+WINDOW_COLS = 1 << 20
 
 
 class _WindowCursor:
@@ -880,6 +1134,17 @@ def _stream_windows(streams, conf, bedidx, header, cursors=None,
 
 def _prepare_file_state(sub, conf, tid, get_ref, files, f,
                         wb=None, we=None) -> FileState:
+    sub, ref, ref_len = _prepare_sub(sub, conf, tid, get_ref, f, wb, we)
+    p = plops.build_pileup(sub)
+    piece_flat, piece_off, qual_chars, pass_q = build_entry_pieces(
+        sub, p, ref, ref_len, conf)
+    return FileState(sub, p, piece_flat, piece_off, qual_chars, pass_q)
+
+
+def _prepare_sub(sub, conf, tid, get_ref, f, wb=None, we=None):
+    """mplp_func per-read transform+filter chain for one window's reads:
+    illumina quals, BAQ, capQ, min-mapQ/orphan filters, depth cap,
+    overlap tweaks.  Returns (sub, ref, ref_len)."""
     # quality transforms
     if conf["illumina13"]:
         q = sub.qual.astype(np.int64)
@@ -923,10 +1188,7 @@ def _prepare_file_state(sub, conf, tid, get_ref, files, f,
     if conf["smart_overlaps"]:
         from ..ops import overlaps
         overlaps.tweak_overlaps(sub)
-    p = plops.build_pileup(sub)
-    entry_str, qual_chars, pass_q = build_entry_strings(
-        sub, p, ref, ref_len, conf)
-    return FileState(sub, p, entry_str, qual_chars, pass_q)
+    return sub, ref, ref_len
 
 
 def _depth_cap_stream(sub, maxcnt: int, wb: int, we: int, prev_keep):
@@ -1023,7 +1285,7 @@ def _append_file_column(row, s: FileState, pos: int, conf, header):
     row.append(str(cnt))
     row.append("\t")
     if cnt:
-        row.append("".join(s.entry_str[i] for i in passing))
+        row.append("".join(s.entry_bytes(i) for i in passing))
         row.append("\t")
         row.append(bytes(s.qual_chars[passing]).decode("latin-1"))
     else:
