@@ -122,6 +122,7 @@ class ReadBatch:
         out = ReadBatch(n=int(idx.size))
         for f in ("tid", "pos", "mapq", "flag", "mtid", "mpos", "tlen"):
             setattr(out, f, getattr(self, f)[idx])
+        native = _native_gather()
         for flat, off in (("qname", "qname_off"), ("cigar", "cigar_off"),
                           ("seq", "seq_off"), ("aux", "aux_off")):
             soff = getattr(self, off)
@@ -136,8 +137,21 @@ class ReadBatch:
                 if flat == "seq":
                     out.qual = np.empty(0, np.uint8)
                 continue
-            gather = ragged_gather_indices(soff[idx], lens)
             src = getattr(self, flat)
+            total = int(noff[-1])
+            if native is not None:
+                # per-row memcpy gather (no payload-sized index arrays)
+                if need_flat and src.size:
+                    setattr(out, flat, native(src, soff, idx, noff,
+                                              total))
+                else:
+                    setattr(out, flat, np.empty(0, src.dtype))
+                if flat == "seq":
+                    out.qual = (native(self.qual, soff, idx, noff, total)
+                                if need_qual and self.qual.size
+                                else np.empty(0, np.uint8))
+                continue
+            gather = ragged_gather_indices(soff[idx], lens)
             setattr(out, flat,
                     src[gather] if need_flat and src.size
                     else np.empty(0, src.dtype))
@@ -165,6 +179,22 @@ class ReadBatch:
                 base += int(o[-1])
             setattr(out, off, np.concatenate(parts))
         return out
+
+
+_NATIVE_GATHER = False
+
+
+def _native_gather():
+    """The C++ ragged row gather when available (lazy, cached)."""
+    global _NATIVE_GATHER
+    if _NATIVE_GATHER is False:
+        try:
+            from ..io import native
+            _NATIVE_GATHER = (native.ragged_gather
+                              if native.has_ragged_gather() else None)
+        except Exception:
+            _NATIVE_GATHER = None
+    return _NATIVE_GATHER
 
 
 def ragged_gather_indices(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:

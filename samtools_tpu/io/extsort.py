@@ -23,8 +23,64 @@ import os
 import numpy as np
 
 from ..core.batch import ReadBatch
-from .bam import write_bam
-from .stream import BamStream
+
+# spill-run container: raw columnar arrays, no BAM encode/decode (the
+# reference spills temp BAMs, bam_sort.c:3561, because its record form
+# IS bam1_t; ours is columnar, and round-tripping spills through nibble
+# packing + BGZF costs ~40% of sort wall time for zero benefit)
+_COLS = ["tid", "pos", "mapq", "flag", "mtid", "mpos", "tlen",
+         "qname", "qname_off", "cigar", "cigar_off", "seq", "seq_off",
+         "qual", "aux", "aux_off"]
+
+
+def write_run(fn: str, batch: ReadBatch) -> None:
+    """Write one sorted spill run as length-prefixed raw arrays."""
+    import struct
+    with open(fn, "wb") as f:
+        f.write(struct.pack("<q", batch.n))
+        for name in _COLS:
+            arr = np.ascontiguousarray(getattr(batch, name))
+            hdr = (arr.dtype.str + ":" + str(arr.size)).encode()
+            f.write(struct.pack("<h", len(hdr)))
+            f.write(hdr)
+            arr.tofile(f)
+
+
+def read_run_chunks(fn: str, rows: int = 1 << 18):
+    """Yield ReadBatch chunks of a spill run via memmap row slices."""
+    import struct
+    with open(fn, "rb") as f:
+        n = struct.unpack("<q", f.read(8))[0]
+        arrays = {}
+        off = 8
+        for name in _COLS:
+            hl = struct.unpack("<h", f.read(2))[0]
+            dts, size = f.read(hl).decode().split(":")
+            size = int(size)
+            off += 2 + hl
+            dt = np.dtype(dts)
+            arrays[name] = np.memmap(fn, dtype=dt, mode="r",
+                                     offset=off, shape=(size,))
+            off += size * dt.itemsize
+            f.seek(off)
+    for r0 in range(0, max(n, 1), rows):
+        r1 = min(r0 + rows, n)
+        if r1 <= r0:
+            break
+        kw = {"n": r1 - r0}
+        for name in _COLS:
+            a = arrays[name]
+            if name.endswith("_off"):
+                off_sl = np.asarray(a[r0:r1 + 1], np.int64)
+                kw[name] = off_sl - off_sl[0]
+            elif name in ("qname", "cigar", "seq", "qual", "aux"):
+                offa = arrays[name + "_off"] if name != "qual" \
+                    else arrays["seq_off"]
+                lo, hi = int(offa[r0]), int(offa[r1])
+                kw[name] = np.array(a[lo:hi])
+            else:
+                kw[name] = np.array(a[r0:r1])
+        yield ReadBatch(**kw)
 
 
 def batch_nbytes(b: ReadBatch) -> int:
@@ -192,9 +248,8 @@ class SpillSorter:
         if chunk is None:
             return
         run = chunk.take(order_batch(chunk, self.key_fn, self.kind))
-        fn = f"{self.tmpprefix}.{len(self.spills):04d}.bam"
-        # temp runs: fast compression, original header (tids unchanged)
-        write_bam(fn, self.header, run, level=1, threads=self.threads)
+        fn = f"{self.tmpprefix}.{len(self.spills):04d}.run"
+        write_run(fn, run)
         self.spills.append(fn)
 
     def finish(self):
@@ -218,7 +273,7 @@ class SpillSorter:
         spills = self.spills
         from ..core import metrics
         metrics.log(4, "sort", "merging from %d files...", len(spills))
-        streams = [BamStream(fn, self.threads).batches() for fn in spills]
+        streams = [read_run_chunks(fn) for fn in spills]
         try:
             yield from merge_packed_iters(streams, self.pack_fn)
         finally:
@@ -233,7 +288,7 @@ class SpillSorter:
         spills = self.spills
         k = len(spills)
         metrics.log(4, "sort", "merging from %d files...", k)
-        streams = [BamStream(fn, self.threads).batches() for fn in spills]
+        streams = [read_run_chunks(fn) for fn in spills]
         live = [True] * k
         seq_next = [0] * k
         pools: list = [None] * k   # (batch, seq) per source, ordered

@@ -159,6 +159,15 @@ def _load():
             lib.samtpu_buf_free.argtypes = [ctypes.c_void_p]
         except AttributeError:  # stale .so without the text writer
             pass
+        try:
+            lib.samtpu_ragged_gather.restype = ctypes.c_int64
+            lib.samtpu_ragged_gather.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_int,
+            ]
+        except AttributeError:
+            pass
         _lib = lib
     except OSError:
         _lib = None
@@ -459,3 +468,26 @@ def mpileup_text(sub, ref: bytes | None, name: str, emit_beg: int,
     finally:
         if outp.value:
             lib.samtpu_buf_free(outp)
+
+
+def has_ragged_gather() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "samtpu_ragged_gather") \
+        and lib.samtpu_ragged_gather.argtypes is not None
+
+
+def ragged_gather(flat: np.ndarray, off: np.ndarray, rows: np.ndarray,
+                  out_off: np.ndarray, total: int,
+                  threads: int = 0) -> np.ndarray:
+    """out[k] = flat[off[rows[k]] : off[rows[k]+1]], concatenated."""
+    lib = _load()
+    flat = np.ascontiguousarray(flat)
+    off = np.ascontiguousarray(off, np.int64)
+    rows = np.ascontiguousarray(rows, np.int64)
+    out_off = np.ascontiguousarray(out_off, np.int64)
+    out = np.empty(total, flat.dtype)
+    lib.samtpu_ragged_gather(flat.ctypes.data, off.ctypes.data,
+                             rows.ctypes.data, rows.size,
+                             out_off.ctypes.data, out.ctypes.data,
+                             flat.dtype.itemsize, threads)
+    return out

@@ -1272,3 +1272,43 @@ int64_t samtpu_mpileup_text(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Ragged row gather: out[k] slice = flat[off[rows[k]] : off[rows[k]+1]].
+// The columnar take() operation's hot path — per-row memcpy avoids
+// materializing index arrays as large as the payload (a cumsum-built
+// gather index costs two extra full passes at numpy speed).
+// itemsize-agnostic: offsets count ITEMS, copies are bytes.
+
+extern "C" {
+
+int64_t samtpu_ragged_gather(const uint8_t* flat, const int64_t* off,
+                             const int64_t* rows, int64_t m,
+                             const int64_t* out_off, uint8_t* out,
+                             int64_t itemsize, int threads) {
+  auto work = [&](int64_t lo, int64_t hi) {
+    for (int64_t k = lo; k < hi; ++k) {
+      int64_t r = rows[k];
+      int64_t s = off[r] * itemsize;
+      int64_t nbytes = (off[r + 1] - off[r]) * itemsize;
+      if (nbytes > 0) std::memcpy(out + out_off[k] * itemsize, flat + s,
+                                  (size_t)nbytes);
+    }
+  };
+  int nt = threads > 1 ? threads : 1;
+  if (nt <= 1 || m < (1 << 16)) {
+    work(0, m);
+    return m;
+  }
+  std::vector<std::thread> ws;
+  int64_t per = (m + nt - 1) / nt;
+  for (int t = 0; t < nt; ++t) {
+    int64_t lo = t * per, hi = lo + per < m ? lo + per : m;
+    if (lo >= hi) break;
+    ws.emplace_back([&, lo, hi] { work(lo, hi); });
+  }
+  for (auto& w : ws) w.join();
+  return m;
+}
+
+}  // extern "C"

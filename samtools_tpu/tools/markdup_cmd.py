@@ -110,10 +110,11 @@ class Params:
 
 
 class Rec:
-    __slots__ = ("i", "duplicate", "original", "dup_checked", "dc",
+    __slots__ = ("ch", "i", "duplicate", "original", "dup_checked", "dc",
                  "read_group", "paired")
 
-    def __init__(self, i):
+    def __init__(self, ch, i):
+        self.ch = ch
         self.i = i
         self.duplicate = None
         self.original = None
@@ -331,45 +332,114 @@ def main_markdup(argv: list[str]) -> int:
         usage(sys.stderr if args else sys.stdout)
         return 1
 
-    try:
-        f = read_alignments(args[0], threads=ga.nthreads)
-    except OSError as e:
-        print_error_errno("markdup", 'error, failed to open "%s" for input',
-                          args[0], exc=e)
-        return 1
-    header = f.header
+    # streamed input (bounded memory: the reference buffers a
+    # coordinate window in a klist, bam_markdup.c; here, decoded chunks
+    # held until no later read can alter their dup state); non-BGZF
+    # inputs take the in-memory single-chunk path
+    stream = None
+    if args[0] != "-":
+        try:
+            from ..io.stream import BamStream
+            import os as _os
+            stream = BamStream(
+                args[0], threads=ga.nthreads or 2,
+                window_bytes=int(_os.environ.get(
+                    "SAMTPU_MARKDUP_WINDOW", str(32 << 20))))
+        except OSError as e:
+            print_error_errno("markdup",
+                              'error, failed to open "%s" for input',
+                              args[0], exc=e)
+            return 1
+        except Exception:
+            stream = None
+    if stream is not None:
+        header = stream.header
+        chunks = stream.batches()
+    else:
+        try:
+            f = read_alignments(args[0], threads=ga.nthreads)
+        except OSError as e:
+            print_error_errno("markdup",
+                              'error, failed to open "%s" for input',
+                              args[0], exc=e)
+            return 1
+        header = f.header
+        chunks = iter([f.batch])
     if header.sort_order() == "queryname":
         print_error("markdup",
                     "error, queryname sorted, must be sorted by coordinate.")
         return 1
-    rc = run_markdup(p, f, header, args, argv, ga, level)
+    try:
+        rc = run_markdup(p, chunks, header, args, argv, ga, level)
+    finally:
+        if stream is not None:
+            stream.close()
     return rc
 
 
-def run_markdup(p: Params, f, header, args, argv, ga, level) -> int:
-    b = f.batch
-    n = b.n
-    fl = b.flag.astype(np.int64)
-    qnames = [b.qname_str(i) for i in range(n)]
-    # coordinate order check
-    tid = b.tid.astype(np.int64)
-    placed = tid >= 0
-    pt = tid[placed]
-    pp = b.pos[placed]
-    if pt.size and ((np.diff(pt) < 0).any()
-                    or ((np.diff(pt) == 0) & (np.diff(pp) < 0)).any()):
-        print_error("markdup", "error, not in coordinate sorted order.")
-        return 1
+class Chunk:
+    """One decoded window of coordinate-sorted records plus the mutable
+    per-record markdup state (flags, aux edits, qnames, Rec links).
 
-    # clear previous dup state
-    aux_list = [b.aux_of(i) for i in range(n)]
-    if p.clear:
-        for i in range(n):
-            if fl[i] & F.FDUP:
-                fl[i] ^= F.FDUP
-                aux_list[i] = auxmod.delete_tags(aux_list[i], {"dt", "do"})
+    The reference holds a coordinate window of bam1_t in a klist
+    (bam_markdup.c); here the window is a columnar batch + parallel
+    arrays, flushed once the stream frontier guarantees no later read
+    can alter its records' duplicate state (all pair/single key
+    coordinates are unclipped positions, so a record is final once the
+    frontier passes its max unclipped coordinate + max_length)."""
 
-    # read groups
+    __slots__ = ("b", "fl", "qnames", "aux", "ucl_s", "ucl_e", "score",
+                 "ms", "mc", "rg", "bc", "recs", "max_coord", "tid_hi")
+
+    def __init__(self, b, p):
+        n = b.n
+        self.b = b
+        fl = b.flag.astype(np.int64)
+        self.qnames = [b.qname_str(i) for i in range(n)]
+        aux = [b.aux_of(i) for i in range(n)]
+        if p.clear:
+            for i in range(n):
+                if fl[i] & F.FDUP:
+                    fl[i] ^= F.FDUP
+                    aux[i] = auxmod.delete_tags(aux[i], {"dt", "do"})
+        self.fl = fl
+        self.aux = aux
+        self.ucl_s = unclipped_start(b, hard=True)
+        self.ucl_e = unclipped_end(b, hard=True)
+        self.score = _scores(b)
+        self.ms = auxmod.batch_tag_values(b, "ms")
+        self.mc = auxmod.batch_tag_values(b, "MC")
+        self.rg = (auxmod.batch_tag_values(b, "RG") if p.read_groups
+                   else None)
+        self.bc = (auxmod.batch_tag_values(b, p.barcode) if p.barcode
+                   else None)
+        self.recs = [Rec(self, i) for i in range(n)]
+        placed = b.tid >= 0
+        if placed.any():
+            self.tid_hi = int(b.tid[placed].max())
+            self.max_coord = int(self.ucl_e[placed].max())
+        else:
+            self.tid_hi = -1
+            self.max_coord = -1
+
+
+def run_markdup(p: Params, chunks, header, args, argv, ga, level) -> int:
+    """Streaming duplicate marking over decoded chunks.
+
+    bam_markdup.c architecture: hash maps keyed by unclipped pair /
+    single coordinates decide duplicates as records arrive; records wait
+    in a bounded window until final, then flush to an incremental
+    writer.  Hash entries are evicted once the coordinate frontier
+    passes their key coordinate + max_length (no later record's
+    unclipped start can reach back further than one read length).  With
+    -S the pass-1 output spills to a temp BAM and a second pass applies
+    the qname-keyed supplementary marking (the reference's LZ4 tmp_file
+    pass, bam_markdup.c:1700)."""
+    import os
+    from collections import deque
+
+    from ..io.files import StreamingWriter
+
     num_groups = 0
     rg_ids = {}
     if p.read_groups:
@@ -383,276 +453,416 @@ def run_markdup(p: Params, f, header, args, argv, ga, level) -> int:
 
     stats = [Stats() for _ in range(num_groups + 1)]
     warns: list[str] = []
-
-    # precompute keys' ingredients
-    ucl_s = unclipped_start(b, hard=True)
-    ucl_e = unclipped_end(b, hard=True)
-    score = _scores(b)
-    ms_vals = auxmod.batch_tag_values(b, "ms")
-    mc_vals = auxmod.batch_tag_values(b, "MC")
-    rg_vals = auxmod.batch_tag_values(b, "RG")
-    bc_tag_vals = (auxmod.batch_tag_values(b, p.barcode)
-                   if p.barcode else None)
-
-    recs = [Rec(i) for i in range(n)]
-    pair_hash: dict = {}
-    single_hash: dict = {}
-    dup_hash: dict = {}
-
     if p.include_fails:
         exclude = F.FSECONDARY | F.FSUPPLEMENTARY | F.FUNMAP
     else:
         exclude = (F.FSECONDARY | F.FSUPPLEMENTARY | F.FUNMAP | F.FQCFAIL)
 
-    def barcode_of(i):
+    pair_hash: dict = {}
+    single_hash: dict = {}
+    dup_hash: dict = {}
+    key_log: deque = deque()       # (tid, coord, kind, key)
+    pending: deque = deque()       # unflushed chunks
+
+    out_header = header
+    if not p.no_pg:
+        cl = "samtools markdup " + " ".join(argv)
+        out_header = header.add_pg_line("samtools", "samtools", cl,
+                                        SAMTOOLS_PARITY_VERSION)
+    fmt = infer_output_format(args[1], ga.out_fmt, "bam")
+    tmp_path = None
+    tmp_fmt = "bam"
+    if p.supp:
+        # large (>2^31) contigs cannot round-trip through BAM; spill SAM
+        # text instead (the reference's large-pos territory,
+        # bam_sort.c:3445)
+        if any(ln >= (1 << 31) for ln in header.ref_lens):
+            tmp_fmt = "sam.gz"
+        tmp_path = (args[1] if args[1] != "-" else "markdup_tmp") \
+            + ".supp.%d.tmp.bam" % os.getpid()
+        writer = StreamingWriter(tmp_path, out_header, tmp_fmt,
+                                 threads=ga.nthreads, level=1)
+    else:
+        writer = StreamingWriter(args[1] if args[1] != "-" else None,
+                                 out_header, fmt, threads=ga.nthreads,
+                                 level=level)
+
+    # ------------------------------------------------------ accessors
+    def barcode_of(ch, i):
         if p.barcode:
-            v = bc_tag_vals[i]
-            return do_hash(str(v).encode("latin-1")) if isinstance(v, str) \
-                else 0
+            v = ch.bc[i]
+            return do_hash(str(v).encode("latin-1")) \
+                if isinstance(v, str) else 0
         if p.bc_rgx:
-            m = p.bc_rgx.search(qnames[i])
+            m = p.bc_rgx.search(ch.qnames[i])
             if m and m.start(1) != -1:
-                return do_hash(qnames[i][m.start(1):m.end(1)]
+                return do_hash(ch.qnames[i][m.start(1):m.end(1)]
                                .encode("latin-1"))
             return 0
         return 0
 
-    def has_mate(i):
-        return bool((fl[i] & F.FPAIRED) and not (fl[i] & F.FMUNMAP)
-                    and not (b.mtid[i] == -1 and b.mpos[i] == -1))
+    def has_mate(rec):
+        ch, i = rec.ch, rec.i
+        return bool((ch.fl[i] & F.FPAIRED) and not (ch.fl[i] & F.FMUNMAP)
+                    and not (ch.b.mtid[i] == -1 and ch.b.mpos[i] == -1))
 
-    def calc_score(i):
-        return score[i]
-
-    def mate_score(i):
-        v = ms_vals[i]
+    def mate_score(rec):
+        v = rec.ch.ms[rec.i]
         if v is None or isinstance(v, str):
             print_error("markdup", "error, no ms score tag. Please run "
                         "samtools fixmate on file first.")
             raise KeyError("ms")
         return int(v)
 
-    def mark_dup(ori: int, dup: int, rg: int, optical_field: str,
-                 st: Stats):
-        fl[dup] |= F.FDUP
+    def mark_dup(ori, dup, rg, optical_field, st: Stats):
+        dch, di = dup.ch, dup.i
+        dch.fl[di] |= F.FDUP
         if p.tag:
-            aux_list[dup] = auxmod.update_str_tag(aux_list[dup], "do",
-                                                  qnames[ori])
+            dch.aux[di] = auxmod.update_str_tag(
+                dch.aux[di], "do", ori.ch.qnames[ori.i])
         dup_type = 0
         if p.opt_dist:
-            if _is_optical(p, qnames[ori], qnames[dup], p.opt_dist, warns):
-                aux_list[dup] = auxmod.update_str_tag(aux_list[dup], "dt",
-                                                      "SQ")
+            if _is_optical(p, ori.ch.qnames[ori.i], dch.qnames[di],
+                           p.opt_dist, warns):
+                dch.aux[di] = auxmod.update_str_tag(dch.aux[di], "dt",
+                                                    "SQ")
                 dup_type = "O"
                 setattr(st, optical_field,
                         getattr(st, optical_field) + 1)
             else:
-                aux_list[dup] = auxmod.update_str_tag(aux_list[dup], "dt",
-                                                      "LB")
+                dch.aux[di] = auxmod.update_str_tag(dch.aux[di], "dt",
+                                                    "LB")
         if p.supp:
-            if (auxmod.find_tag(aux_list[dup], "SA") is not None
-                    or (fl[dup] & F.FMUNMAP)
-                    or auxmod.find_tag(aux_list[dup], "XA") is not None):
-                if qnames[dup] not in dup_hash:
-                    dup_hash[qnames[dup]] = [
-                        qnames[ori] if p.tag else None, dup_type, rg]
+            if (auxmod.find_tag(dch.aux[di], "SA") is not None
+                    or (dch.fl[di] & F.FMUNMAP)
+                    or auxmod.find_tag(dch.aux[di], "XA") is not None):
+                if dch.qnames[di] not in dup_hash:
+                    dup_hash[dch.qnames[di]] = [
+                        ori.ch.qnames[ori.i] if p.tag else None,
+                        dup_type, rg]
 
-    def optical_retag(i, paired, st: Stats):
-        aux_list[i] = auxmod.update_str_tag(aux_list[i], "dt", "SQ")
+    def optical_retag(rec, paired, st: Stats):
+        ch, i = rec.ch, rec.i
+        ch.aux[i] = auxmod.update_str_tag(ch.aux[i], "dt", "SQ")
         if paired:
             st.optical += 1
         else:
             st.single_optical += 1
         if p.supp:
-            if (auxmod.find_tag(aux_list[i], "SA") is not None
-                    or (fl[i] & F.FMUNMAP)
-                    or auxmod.find_tag(aux_list[i], "XA") is not None):
-                if qnames[i] in dup_hash:
-                    dup_hash[qnames[i]][1] = "O"
+            if (auxmod.find_tag(ch.aux[i], "SA") is not None
+                    or (ch.fl[i] & F.FMUNMAP)
+                    or auxmod.find_tag(ch.aux[i], "XA") is not None):
+                if ch.qnames[i] in dup_hash:
+                    dup_hash[ch.qnames[i]][1] = "O"
 
-    try:
+    # ------------------------------------------------- flush machinery
+    def finalize_chunk(ch):
+        if p.check_chain and (p.tag or p.opt_dist):
+            for rec in ch.recs:
+                if not rec.dup_checked and (rec.original or rec.duplicate):
+                    _find_chains(p, rec, stats, warns, has_mate,
+                                 optical_retag)
+        n = ch.b.n
+        keep = np.ones(n, bool)
         for i in range(n):
-            rec = recs[i]
-            if p.read_groups and isinstance(rg_vals[i], str):
-                rec.read_group = rg_ids.get(rg_vals[i], 0)
-            st = stats[rec.read_group]
-            st.reading += 1
-            if fl[i] & exclude:
-                st.excluded += 1
+            st = stats[ch.recs[i].read_group]
+            pre_dup = bool(ch.fl[i] & F.FDUP)
+            if p.dc and not pre_dup:
+                ch.aux[i] = auxmod.update_int_tag(ch.aux[i], "dc",
+                                                  ch.recs[i].dc)
+            if not p.remove_dups or not pre_dup:
+                st.writing += 1
+            if not p.supp:
+                if p.remove_dups and (ch.fl[i] & F.FDUP):
+                    keep[i] = False
+                    continue
+                if p.move_umi and p.bc_rgx:
+                    newname = _move_umi(p, ch.qnames[i], ch.aux, i)
+                    if newname is not None:
+                        ch.qnames[i] = newname
+        b = ch.b
+        b.flag = ch.fl.astype(np.uint16)
+        _rebuild(b, ch.aux, ch.qnames)
+        out = b if keep.all() else b.take(np.nonzero(keep)[0])
+        writer.write_batch(out)
+
+    def evict_keys(ftid, fpos):
+        while key_log:
+            ktid, kcoord, kind, key = key_log[0]
+            if not (ktid < ftid or (ktid == ftid
+                                    and kcoord + p.max_length < fpos)):
+                break
+            key_log.popleft()
+            (pair_hash if kind == 0 else single_hash).pop(key, None)
+
+    # ----------------------------------------------------- main pass
+    prev_tid = -2
+    prev_pos = -2
+    rc = 0
+    try:
+        for batch in chunks:
+            if batch.n == 0:
                 continue
-            st.examined += 1
-            if has_mate(i):
-                rec.paired = True
-                pair_key = _make_pair_key(p, b, fl, i, ucl_s, ucl_e,
-                                          mc_vals, barcode_of(i),
-                                          rec.read_group)
-                if pair_key is None:
-                    return 1
-                single_key = _make_single_key(b, fl, i, ucl_s, ucl_e,
-                                              barcode_of(i), rec.read_group)
-                st.pair += 1
-                got = single_hash.get(single_key)
-                if got is None:
-                    single_hash[single_key] = i
-                else:
-                    if not has_mate(got):
-                        dup = got
-                        if p.check_chain:
-                            recs[i].duplicate = recs[dup]
-                            recs[dup].original = recs[i]
-                        single_hash[single_key] = i
-                        recs[i].dc += 1
-                        mark_dup(i, dup, rec.read_group, "single_optical",
-                                 st)
-                        st.single_dup += 1
-                got = pair_hash.get(pair_key)
-                if got is None:
-                    pair_hash[pair_key] = i
-                else:
-                    if (fl[got] & F.FQCFAIL) != (fl[i] & F.FQCFAIL):
-                        old_score = 0 if fl[got] & F.FQCFAIL else 1
-                        new_score = 1 - old_score
+            ch = Chunk(batch, p)
+            b = ch.b
+            fl = ch.fl
+            # coordinate order check (incremental across chunks)
+            tidv = b.tid.astype(np.int64)
+            placed = tidv >= 0
+            pt = tidv[placed]
+            pp = b.pos[placed]
+            bad = False
+            if pt.size:
+                if prev_tid >= 0 and (pt[0] < prev_tid or (
+                        pt[0] == prev_tid and pp[0] < prev_pos)):
+                    bad = True
+                if ((np.diff(pt) < 0).any()
+                        or ((np.diff(pt) == 0) & (np.diff(pp) < 0)).any()):
+                    bad = True
+                prev_tid = int(pt[-1])
+                prev_pos = int(pp[-1])
+            if bad:
+                print_error("markdup",
+                            "error, not in coordinate sorted order.")
+                rc = 1
+                return 1
+            pending.append(ch)
+
+            for i in range(b.n):
+                rec = ch.recs[i]
+                if p.read_groups and isinstance(ch.rg[i], str):
+                    rec.read_group = rg_ids.get(ch.rg[i], 0)
+                st = stats[rec.read_group]
+                st.reading += 1
+                if fl[i] & exclude:
+                    st.excluded += 1
+                    continue
+                st.examined += 1
+                if has_mate(rec):
+                    rec.paired = True
+                    pair_key = _make_pair_key(p, b, fl, i, ch.ucl_s,
+                                              ch.ucl_e, ch.mc,
+                                              barcode_of(ch, i),
+                                              rec.read_group)
+                    if pair_key is None:
+                        rc = 1
+                        return 1
+                    single_key = _make_single_key(b, fl, i, ch.ucl_s,
+                                                  ch.ucl_e,
+                                                  barcode_of(ch, i),
+                                                  rec.read_group)
+                    st.pair += 1
+                    got = single_hash.get(single_key)
+                    if got is None:
+                        single_hash[single_key] = rec
+                        key_log.append((single_key[1] - 1, single_key[2],
+                                        1, single_key))
                     else:
-                        old_score = calc_score(got) + mate_score(got)
-                        new_score = calc_score(i) + mate_score(i)
-                    tie_add = 0
-                    if new_score == old_score:
-                        tie_add = 1 if qnames[i] < qnames[got] else -1
-                    if new_score + tie_add > old_score:
-                        dup = got
-                        recs[i].dc += recs[got].dc
-                        if p.check_chain:
-                            if recs[i].duplicate:
-                                cur = recs[i].duplicate
-                                while cur.duplicate:
-                                    cur = cur.duplicate
-                                cur.duplicate = recs[got]
-                            else:
-                                recs[i].duplicate = recs[got]
-                            recs[got].original = recs[i]
-                        pair_hash[pair_key] = i
-                        ori = i
+                        if not has_mate(got):
+                            if p.check_chain:
+                                rec.duplicate = got
+                                got.original = rec
+                            single_hash[single_key] = rec
+                            rec.dc += 1
+                            mark_dup(rec, got, rec.read_group,
+                                     "single_optical", st)
+                            st.single_dup += 1
+                    got = pair_hash.get(pair_key)
+                    if got is None:
+                        pair_hash[pair_key] = rec
+                        key_log.append((pair_key[1] - 1, pair_key[2],
+                                        0, pair_key))
                     else:
-                        if p.check_chain:
-                            if recs[got].duplicate:
-                                if recs[i].duplicate:
-                                    cur = recs[got].duplicate
+                        gch, gi = got.ch, got.i
+                        if (gch.fl[gi] & F.FQCFAIL) != (fl[i] & F.FQCFAIL):
+                            old_score = 0 if gch.fl[gi] & F.FQCFAIL else 1
+                            new_score = 1 - old_score
+                        else:
+                            old_score = int(gch.score[gi]) \
+                                + mate_score(got)
+                            new_score = int(ch.score[i]) + mate_score(rec)
+                        tie_add = 0
+                        if new_score == old_score:
+                            tie_add = (1 if ch.qnames[i] < gch.qnames[gi]
+                                       else -1)
+                        if new_score + tie_add > old_score:
+                            dup = got
+                            rec.dc += got.dc
+                            if p.check_chain:
+                                if rec.duplicate:
+                                    cur = rec.duplicate
                                     while cur.duplicate:
                                         cur = cur.duplicate
-                                    cur.duplicate = recs[i].duplicate
-                                recs[i].duplicate = recs[got].duplicate
-                            recs[got].duplicate = recs[i]
-                            recs[i].original = recs[got]
-                        dup = i
-                        recs[got].dc += 1
-                        ori = got
-                    mark_dup(ori, dup, rec.read_group, "optical", st)
-                    st.duplicate += 1
-            else:
-                single_key = _make_single_key(b, fl, i, ucl_s, ucl_e,
-                                              barcode_of(i), rec.read_group)
-                st.single += 1
-                got = single_hash.get(single_key)
-                if got is None:
-                    single_hash[single_key] = i
-                else:
-                    if has_mate(got):
-                        if p.check_chain:
-                            if recs[got].duplicate:
-                                recs[i].duplicate = recs[got].duplicate
-                            recs[got].duplicate = recs[i]
-                            recs[i].original = recs[got]
-                        recs[got].dc += 1
-                        mark_dup(got, i, rec.read_group, "single_optical",
-                                 st)
-                    else:
-                        old_score = calc_score(got)
-                        new_score = calc_score(i)
-                        if new_score > old_score:
-                            dup = got
-                            recs[i].dc += recs[got].dc
-                            if p.check_chain:
-                                recs[i].duplicate = recs[got]
-                                recs[got].original = recs[i]
-                            single_hash[single_key] = i
-                            ori = i
+                                    cur.duplicate = got
+                                else:
+                                    rec.duplicate = got
+                                got.original = rec
+                            pair_hash[pair_key] = rec
+                            ori = rec
                         else:
                             if p.check_chain:
-                                if recs[got].duplicate:
-                                    recs[i].duplicate = recs[got].duplicate
-                                recs[got].duplicate = recs[i]
-                                recs[i].original = recs[got]
-                            recs[got].dc += 1
-                            dup = i
+                                if got.duplicate:
+                                    if rec.duplicate:
+                                        cur = got.duplicate
+                                        while cur.duplicate:
+                                            cur = cur.duplicate
+                                        cur.duplicate = rec.duplicate
+                                    rec.duplicate = got.duplicate
+                                got.duplicate = rec
+                                rec.original = got
+                            dup = rec
+                            got.dc += 1
                             ori = got
-                        mark_dup(ori, dup, rec.read_group,
-                                 "single_optical", st)
-                    st.single_dup += 1
-    except KeyError:
-        return 1
-
-    # duplicate-chain pass (do retags + optical chain checks)
-    if p.check_chain and (p.tag or p.opt_dist):
-        for rec in recs:
-            if not rec.dup_checked and (rec.original or rec.duplicate):
-                _find_chains(p, rec, recs, dup_hash, aux_list, qnames, fl,
-                             b, score, ms_vals, stats, warns, has_mate,
-                             optical_retag)
-
-    # output assembly (middle/final flush + optional supplementary pass)
-    keep = np.ones(n, bool)
-    for i in range(n):
-        st = stats[recs[i].read_group]
-        pre_dup = bool(fl[i] & F.FDUP)
-        # dc tag is set at flush time (pre supplementary marking)
-        if p.dc and not pre_dup:
-            aux_list[i] = auxmod.update_int_tag(aux_list[i], "dc",
-                                                recs[i].dc)
-        if not p.remove_dups or not pre_dup:
-            st.writing += 1
-        is_supp_rec = bool(fl[i] & (F.FSUPPLEMENTARY | F.FUNMAP
-                                    | F.FSECONDARY))
-        if p.supp and is_supp_rec:
-            got = dup_hash.get(qnames[i])
-            if got is not None:
-                fl[i] |= F.FDUP
-                stats[got[2]].np_duplicate += 1
-                if p.tag and got[0]:
-                    aux_list[i] = auxmod.update_str_tag(aux_list[i], "do",
-                                                        got[0])
-                if p.opt_dist:
-                    if got[1]:
-                        aux_list[i] = auxmod.update_str_tag(aux_list[i],
-                                                            "dt", "SQ")
-                        stats[got[2]].np_opt_duplicate += 1
+                        mark_dup(ori, dup, rec.read_group, "optical", st)
+                        st.duplicate += 1
+                else:
+                    single_key = _make_single_key(b, fl, i, ch.ucl_s,
+                                                  ch.ucl_e,
+                                                  barcode_of(ch, i),
+                                                  rec.read_group)
+                    st.single += 1
+                    got = single_hash.get(single_key)
+                    if got is None:
+                        single_hash[single_key] = rec
+                        key_log.append((single_key[1] - 1, single_key[2],
+                                        1, single_key))
                     else:
-                        aux_list[i] = auxmod.update_str_tag(aux_list[i],
-                                                            "dt", "LB")
-        if p.remove_dups and (fl[i] & F.FDUP):
-            keep[i] = False
-            continue
-        if p.supp and p.dc and (fl[i] & F.FDUP):
-            aux_list[i] = auxmod.delete_tags(aux_list[i], {"dc"})
-        if p.move_umi and p.bc_rgx:
-            newname = _move_umi(p, qnames[i], aux_list, i)
-            if newname is not None:
-                qnames[i] = newname
+                        gch, gi = got.ch, got.i
+                        if has_mate(got):
+                            if p.check_chain:
+                                if got.duplicate:
+                                    rec.duplicate = got.duplicate
+                                got.duplicate = rec
+                                rec.original = got
+                            got.dc += 1
+                            mark_dup(got, rec, rec.read_group,
+                                     "single_optical", st)
+                        else:
+                            old_score = int(gch.score[gi])
+                            new_score = int(ch.score[i])
+                            if new_score > old_score:
+                                dup = got
+                                rec.dc += got.dc
+                                if p.check_chain:
+                                    rec.duplicate = got
+                                    got.original = rec
+                                single_hash[single_key] = rec
+                                ori = rec
+                            else:
+                                if p.check_chain:
+                                    if got.duplicate:
+                                        rec.duplicate = got.duplicate
+                                    got.duplicate = rec
+                                    rec.original = got
+                                got.dc += 1
+                                dup = rec
+                                ori = got
+                            mark_dup(ori, dup, rec.read_group,
+                                     "single_optical", st)
+                        st.single_dup += 1
 
-    # rebuild batch
-    b.flag = fl.astype(np.uint16)
-    _rebuild(b, aux_list, qnames)
-    out = b.take(np.nonzero(keep)[0])
+            # flush chunks whose records are final vs the new frontier
+            if pt.size:
+                ftid, fpos = int(pt[0]), int(pp[0])
+                evict_keys(ftid, fpos)
+                while len(pending) > 1:
+                    c0 = pending[0]
+                    if c0.tid_hi < ftid or (
+                            c0.tid_hi == ftid
+                            and c0.max_coord + p.max_length < fpos):
+                        finalize_chunk(pending.popleft())
+                    else:
+                        break
+    except KeyError:
+        rc = 1
+        return 1
+    finally:
+        if rc == 0:
+            while pending:
+                finalize_chunk(pending.popleft())
+        writer.close()
+        if rc != 0 and tmp_path and os.path.exists(tmp_path):
+            os.remove(tmp_path)
 
-    if not p.no_pg:
-        cl = "samtools markdup " + " ".join(argv)
-        header = header.add_pg_line("samtools", "samtools", cl,
-                                    SAMTOOLS_PARITY_VERSION)
+    # ------------------------------------------- supplementary pass 2
+    if p.supp:
+        from ..io.stream import BamStream
+        final = StreamingWriter(args[1] if args[1] != "-" else None,
+                                out_header, fmt, threads=ga.nthreads,
+                                level=level)
+        try:
+            if tmp_fmt == "bam":
+                st2 = BamStream(tmp_path, threads=ga.nthreads or 2)
+                batches2 = st2.batches()
+            else:
+                st2 = None
+                batches2 = iter([read_alignments(
+                    tmp_path, threads=ga.nthreads).batch])
+            try:
+                for batch in batches2:
+                    n = batch.n
+                    fl = batch.flag.astype(np.int64)
+                    aux_list = None
+                    qnames = None
+                    keep = np.ones(n, bool)
+                    is_supp = (fl & (F.FSUPPLEMENTARY | F.FUNMAP
+                                     | F.FSECONDARY)) != 0
+                    rows = (range(n) if p.move_umi and p.bc_rgx
+                            else np.nonzero(is_supp)[0])
+                    for i in rows:
+                        if aux_list is None:
+                            aux_list = [batch.aux_of(j) for j in range(n)]
+                            qnames = [batch.qname_str(j)
+                                      for j in range(n)]
+                        if is_supp[i]:
+                            got = dup_hash.get(qnames[i])
+                            if got is not None:
+                                fl[i] |= F.FDUP
+                                stats[got[2]].np_duplicate += 1
+                                if p.tag and got[0]:
+                                    aux_list[i] = auxmod.update_str_tag(
+                                        aux_list[i], "do", got[0])
+                                if p.opt_dist:
+                                    if got[1]:
+                                        aux_list[i] = \
+                                            auxmod.update_str_tag(
+                                                aux_list[i], "dt", "SQ")
+                                        stats[got[2]].np_opt_duplicate \
+                                            += 1
+                                    else:
+                                        aux_list[i] = \
+                                            auxmod.update_str_tag(
+                                                aux_list[i], "dt", "LB")
+                        if p.remove_dups and (fl[i] & F.FDUP):
+                            keep[i] = False
+                            continue
+                        if p.dc and (fl[i] & F.FDUP):
+                            aux_list[i] = auxmod.delete_tags(aux_list[i],
+                                                             {"dc"})
+                        if p.move_umi and p.bc_rgx:
+                            newname = _move_umi(p, qnames[i], aux_list, i)
+                            if newname is not None:
+                                qnames[i] = newname
+                    if p.remove_dups:
+                        keep &= (fl & F.FDUP) == 0
+                    batch.flag = fl.astype(np.uint16)
+                    if aux_list is not None:
+                        _rebuild(batch, aux_list, qnames)
+                    outb = batch if keep.all() \
+                        else batch.take(np.nonzero(keep)[0])
+                    final.write_batch(outb)
+            finally:
+                if st2 is not None:
+                    st2.close()
+        finally:
+            final.close()
+            try:
+                os.remove(tmp_path)
+            except OSError:
+                pass
+
     for w in set(warns):
         sys.stderr.write(w)
-    fmt = infer_output_format(args[1], ga.out_fmt, "bam")
-    write_alignments(args[1] if args[1] != "-" else None, header, out,
-                     fmt=fmt, threads=ga.nthreads, level=level,
-                     include_header=True)
     if p.do_stats:
         _write_stats(p, stats, num_groups, header,
                      "samtools markdup " + " ".join(argv))
@@ -796,12 +1006,11 @@ def _coord_warn(name):
             "optical duplicate marking.\n" % name)
 
 
-def _find_chains(p, rec, recs, dup_hash, aux_list, qnames, fl, b, score,
-                 ms_vals, stats, warns, has_mate, optical_retag):
+def _find_chains(p, rec, stats, warns, has_mate, optical_retag):
     while rec.original:
         rec = rec.original
     st = stats[rec.read_group]
-    ori_name = qnames[rec.i]
+    ori_name = rec.ch.qnames[rec.i]
     coords = get_coordinates(p, ori_name) if p.opt_dist else None
     coord_fail = p.opt_dist and coords is None
     if coord_fail:
@@ -812,17 +1021,17 @@ def _find_chains(p, rec, recs, dup_hash, aux_list, qnames, fl, b, score,
         c = {"rec": cur, "x": -1, "y": -1, "opt": False, "score": 0,
              "mate_score": 0, "beg": 0, "end": 0, "len": 0}
         cur.dup_checked = True
-        i = cur.i
+        ch, i = cur.ch, cur.i
         if p.tag:
-            got = auxmod.get_value(aux_list[i], "do")
+            got = auxmod.get_value(ch.aux[i], "do")
             if got is not None and got[0] == "Z" and got[1] != ori_name:
-                aux_list[i] = auxmod.update_str_tag(aux_list[i], "do",
-                                                    ori_name)
+                ch.aux[i] = auxmod.update_str_tag(ch.aux[i], "do",
+                                                  ori_name)
         if p.opt_dist and not coord_fail:
-            got = auxmod.get_value(aux_list[i], "dt")
+            got = auxmod.get_value(ch.aux[i], "dt")
             if got is not None and got[0] == "Z" and got[1] == "SQ":
                 c["opt"] = True
-            d = get_coordinates(p, qnames[i])
+            d = get_coordinates(p, ch.qnames[i])
             if d is not None:
                 db, de, dx, dy = d
                 ob, oe, ox, oy = coords
@@ -830,44 +1039,44 @@ def _find_chains(p, rec, recs, dup_hash, aux_list, qnames, fl, b, score,
                 c["beg"], c["end"] = db, de
                 c["len"] = de - db
                 if not c["opt"] and (oe - ob) == (de - db) \
-                        and ori_name[ob:oe] == qnames[i][db:de] \
+                        and ori_name[ob:oe] == ch.qnames[i][db:de] \
                         and abs(ox - dx) <= p.opt_dist \
                         and abs(oy - dy) <= p.opt_dist:
-                    optical_retag(i, has_mate(i), st)
+                    optical_retag(cur, has_mate(cur), st)
                     c["opt"] = True
             else:
-                warns.append(_coord_warn(qnames[i]))
-            c["score"] = int(score[i])
-            if has_mate(i):
-                v = ms_vals[i]
+                warns.append(_coord_warn(ch.qnames[i]))
+            c["score"] = int(ch.score[i])
+            if has_mate(cur):
+                v = ch.ms[i]
                 c["mate_score"] = int(v) if v is not None else 0
         chain.append(c)
         cur = cur.duplicate
     rec.dup_checked = True
     if coord_fail or not p.opt_dist or len(chain) < 2:
         return
+
+    def _qsub(c):
+        return c["rec"].ch.qnames[c["rec"].i][c["beg"]:c["end"]]
+
     # pairwise optical check within the chain (check_duplicate_chain)
-    chain.sort(key=lambda c: (c["len"],
-                              qnames[c["rec"].i][c["beg"]:c["end"]],
-                              c["x"]))
+    chain.sort(key=lambda c: (c["len"], _qsub(c), c["x"]))
     L = len(chain)
     curr = 0
     while curr < L - 1:
         base = chain[curr]
-        base_sub = qnames[base["rec"].i][base["beg"]:base["end"]]
+        base_sub = _qsub(base)
         end_name = curr
         while True:
             end_name += 1
             if end_name >= L:
                 break
             chk = chain[end_name]
-            if (base["len"] == chk["len"]
-                    and qnames[chk["rec"].i][chk["beg"]:chk["end"]]
-                    != base_sub):
+            if base["len"] == chk["len"] and _qsub(chk) != base_sub:
                 break
         while curr < end_name:
             current = chain[curr]
-            cur_paired = has_mate(current["rec"].i)
+            cur_paired = has_mate(current["rec"])
             count = curr
             while True:
                 count += 1
@@ -879,16 +1088,16 @@ def _find_chains(p, rec, recs, dup_hash, aux_list, qnames, fl, b, score,
                     continue
                 if abs(current["y"] - chk["y"]) > p.opt_dist:
                     continue
-                chk_paired = has_mate(chk["rec"].i)
+                chk_paired = has_mate(chk["rec"])
                 chk_dup = False
+                cfl = current["rec"].ch.fl[current["rec"].i]
+                kfl = chk["rec"].ch.fl[chk["rec"].i]
                 if cur_paired != chk_paired:
                     if not chk_paired:
                         chk_dup = True
                 else:
-                    if (fl[current["rec"].i] & F.FQCFAIL) != \
-                            (fl[chk["rec"].i] & F.FQCFAIL):
-                        cur_score = 0 if fl[current["rec"].i] & F.FQCFAIL \
-                            else 1
+                    if (cfl & F.FQCFAIL) != (kfl & F.FQCFAIL):
+                        cur_score = 0 if cfl & F.FQCFAIL else 1
                         chk_score = 1 - cur_score
                     else:
                         cur_score = current["score"]
@@ -897,7 +1106,8 @@ def _find_chains(p, rec, recs, dup_hash, aux_list, qnames, fl, b, score,
                             chk_score += chk["mate_score"]
                             cur_score += current["mate_score"]
                     if cur_score == chk_score:
-                        if qnames[chk["rec"].i] < qnames[current["rec"].i]:
+                        if chk["rec"].ch.qnames[chk["rec"].i] < \
+                                current["rec"].ch.qnames[current["rec"].i]:
                             chk_score += 1
                         else:
                             chk_score -= 1
@@ -905,11 +1115,11 @@ def _find_chains(p, rec, recs, dup_hash, aux_list, qnames, fl, b, score,
                         chk_dup = True
                 if chk_dup:
                     if not chk["opt"]:
-                        optical_retag(chk["rec"].i, chk_paired, st)
+                        optical_retag(chk["rec"], chk_paired, st)
                         chk["opt"] = True
                 else:
                     if not current["opt"]:
-                        optical_retag(current["rec"].i, cur_paired, st)
+                        optical_retag(current["rec"], cur_paired, st)
                         current["opt"] = True
             curr += 1
 

@@ -95,3 +95,51 @@ def test_collate_fast(tmp_path, name, extra):
     want = open(f"{R}/collate/{name}").read()
     assert rc == 0
     assert _no_pg(out_path.read_text()) == _no_pg(want)
+
+
+@pytest.mark.parametrize("extra", [[], ["-S"], ["-t", "-d", "100"],
+                                   ["-r"], ["--duplicate-count"]],
+                         ids=["plain", "supp", "optical", "remove", "dc"])
+def test_markdup_streamed_chunks_match_single(tmp_path, extra):
+    """The bounded-memory chunked stream (BamStream windows + flush)
+    must produce byte-identical output to the single-chunk path.
+    Forcing a tiny decode window makes every golden fixture span many
+    chunks (reference analog: the klist window + tmp_file second pass,
+    bam_markdup.c:1700)."""
+    src = f"{R}/markdup/5_markdup.sam"
+    bam = str(tmp_path / "in.bam")
+    rc, _ = run_cli(["view", "-b", "-o", bam, src])
+    assert rc == 0
+    outs = []
+    for win in (None, "2048"):
+        env = dict(os.environ, SAMTPU_PLATFORM="cpu", JAX_PLATFORMS="cpu",
+                   PYTHONPATH=REPO)
+        if win:
+            env["SAMTPU_MARKDUP_WINDOW"] = win
+        p = subprocess.run(
+            [sys.executable, "-m", "samtools_tpu", "markdup", "-O", "sam",
+             "--no-PG"] + extra + [bam, "-"],
+            capture_output=True, env=env)
+        assert p.returncode == 0, p.stderr.decode()
+        outs.append(p.stdout)
+    assert outs[0] == outs[1]
+
+
+@pytest.mark.parametrize("extra", [[], ["-f"], ["-f", "-r", "2"],
+                                   ["-n", "4"]],
+                         ids=["plain", "fast", "tiny-ring", "4bins"])
+def test_collate_streamed_matches_inmem(tmp_path, extra):
+    """Streamed scatter-to-buckets collate must equal the in-memory
+    path (bamshuf.c temp-file architecture vs single batch)."""
+    src = f"{R}/dat/test_input_1_a.sam"
+    bam = str(tmp_path / "in.bam")
+    rc, _ = run_cli(["view", "-b", "-o", bam, src])
+    assert rc == 0
+    outs = []
+    for inp in (bam, src):  # bam input streams; sam input is in-memory
+        rc, out = run_cli(["collate"] + extra
+                          + ["-O", "-O", "--output-fmt", "sam", "--no-PG",
+                             inp])
+        assert rc == 0
+        outs.append(out)
+    assert _no_pg(outs[0]) == _no_pg(outs[1])
