@@ -149,35 +149,120 @@ def sanitize_record(flags_opt: int, flag: int, tid: int, pos: int,
     return flag, tid, pos, cigar, mapq, aux
 
 
+def _sanitize_screen(batch, flags_opt: int,
+                     ref_lens: np.ndarray) -> np.ndarray:
+    """Vectorized superset mask of records bam_sanitize could alter —
+    clean records (the overwhelming majority) skip the scalar path."""
+    n = batch.n
+    fl = batch.flag.astype(np.int64)
+    tid = batch.tid.astype(np.int64)
+    pos = batch.pos
+    unm = (fl & F.FUNMAP) != 0
+    rl = ref_lens[np.clip(tid, 0, ref_lens.size - 1)]
+    rl = np.where(tid < 0, 0, rl)
+    need = np.zeros(n, bool)
+    if flags_opt & FIX_POS:
+        need |= (tid < 0) & ((pos != -1)
+                             | (bool(flags_opt & FIX_UNMAP) & ~unm))
+    if flags_opt & FIX_CIGAR:
+        span = batch.ref_span()
+        need |= (~unm) & ((pos < 0) | (pos >= rl)
+                          | (pos + np.maximum(span, 0) > rl))
+    ncig = batch.cigar_off[1:] - batch.cigar_off[:-1]
+    aux_sus = np.zeros(n, bool)
+    if (flags_opt & FIX_AUX) and batch.aux.size >= 2:
+        a = batch.aux
+        for t in (b"NM", b"MD", b"CG", b"SM"):
+            h = np.flatnonzero((a[:-1] == t[0]) & (a[1:] == t[1]))
+            if h.size:
+                rows = np.searchsorted(batch.aux_off, h,
+                                       side="right") - 1
+                aux_sus[rows[(rows >= 0) & (rows < n)]] = True
+    need |= unm & (
+        (bool(flags_opt & FIX_CIGAR) & (ncig > 0))
+        | (bool(flags_opt & FIX_MQUAL) & (batch.mapq != 0))
+        | (bool(flags_opt & FIX_AUX) & aux_sus))
+    if (flags_opt & (FIX_CIGARX | FIX_CIGDUP)) and batch.cigar.size:
+        ops = batch.cigar & np.uint32(0xF)
+        hit = np.zeros(batch.cigar.size, bool)
+        if flags_opt & FIX_CIGARX:
+            hit |= (ops == F.CEQUAL) | (ops == F.CDIFF)
+        if flags_opt & FIX_CIGDUP:
+            hit |= (batch.cigar >> 4) == 0
+            adj = ops[1:] == ops[:-1]
+            # exclude cross-row adjacency
+            row_end = np.zeros(batch.cigar.size - 1, bool) \
+                if batch.cigar.size > 1 else np.empty(0, bool)
+            if batch.cigar.size > 1:
+                ends = batch.cigar_off[1:-1] - 1
+                ends = ends[(ends >= 0) & (ends < row_end.size)]
+                row_end[ends] = True
+                hit[1:] |= adj & ~row_end
+        hrows = np.searchsorted(batch.cigar_off,
+                                np.flatnonzero(hit), side="right") - 1
+        m = np.zeros(n, bool)
+        m[hrows[(hrows >= 0) & (hrows < n)]] = True
+        need |= (~unm) & m
+    return need
+
+
 def sanitize_batch(batch, header, flags_opt: int):
-    """Apply bam_sanitize to every record, rebuilding ragged columns."""
+    """Apply bam_sanitize to every record, rebuilding ragged columns.
+
+    A vectorized screen routes only potentially-affected records (a
+    superset, usually empty) through the per-record scalar path."""
     if flags_opt == 0 or batch.n == 0:
         return batch
     ref_lens = np.array(header.ref_lens + [0], np.int64)
-    new_cigs = []
-    new_auxs = []
-    changed = False
-    for i in range(batch.n):
+    rows = np.nonzero(_sanitize_screen(batch, flags_opt, ref_lens))[0]
+    if rows.size == 0:
+        return batch
+    new_cig = {}
+    new_aux = {}
+    for i in rows:
+        i = int(i)
         tid = int(batch.tid[i])
         rl = int(ref_lens[tid]) if tid >= 0 else 0
         flag, tid2, pos, cig, mapq, aux = sanitize_record(
             flags_opt, int(batch.flag[i]), tid, int(batch.pos[i]),
             batch.cigar_of(i), int(batch.mapq[i]), batch.aux_of(i), rl)
-        if (flag != batch.flag[i] or tid2 != tid or pos != batch.pos[i]
-                or mapq != batch.mapq[i] or cig.size != batch.n_cigar[i]
-                or aux.size != batch.aux_of(i).size
-                or not np.array_equal(cig, batch.cigar_of(i))):
-            changed = True
         batch.flag[i] = flag
         batch.tid[i] = tid2
         batch.pos[i] = pos
         batch.mapq[i] = mapq
-        new_cigs.append(cig)
-        new_auxs.append(aux)
-    if changed:
-        _rebuild_ragged(batch, "cigar", "cigar_off", new_cigs, np.uint32)
-        _rebuild_ragged(batch, "aux", "aux_off", new_auxs, np.uint8)
+        if cig.size != batch.n_cigar[i] \
+                or not np.array_equal(cig, batch.cigar_of(i)):
+            new_cig[i] = cig
+        if aux.size != batch.aux_of(i).size:
+            new_aux[i] = aux
+    if new_cig:
+        _splice_rows(batch, "cigar", "cigar_off", new_cig, np.uint32)
+    if new_aux:
+        _splice_rows(batch, "aux", "aux_off", new_aux, np.uint8)
     return batch
+
+
+def _splice_rows(batch, flat_name, off_name, repl: dict, dtype):
+    """Replace the ragged payloads of selected rows, keeping the rest."""
+    from .textutil import ragged_scatter
+    n = batch.n
+    off = getattr(batch, off_name)
+    flat = getattr(batch, flat_name)
+    row_len = off[1:] - off[:-1]
+    new_len = row_len.copy()
+    for i, p in repl.items():
+        new_len[i] = len(p)
+    noff = np.zeros(n + 1, np.int64)
+    np.cumsum(new_len, out=noff[1:])
+    nflat = np.empty(int(noff[-1]), dtype)
+    keep = np.ones(n, bool)
+    keep[np.fromiter(repl, np.int64, len(repl))] = False
+    kr = np.nonzero(keep)[0]
+    ragged_scatter(nflat, noff[kr], row_len[kr], flat, off[:-1][kr])
+    for i, p in repl.items():
+        nflat[noff[i]:noff[i] + len(p)] = p
+    setattr(batch, flat_name, nflat)
+    setattr(batch, off_name, noff)
 
 
 def _rebuild_ragged(batch, flat_name, off_name, parts, dtype):

@@ -76,7 +76,8 @@ class BamStream:
                  window_bytes: int = 32 << 20):
         self.path = path
         self.threads = threads or 2
-        self.window_bytes = window_bytes
+        env_win = os.environ.get("SAMTPU_STREAM_WINDOW")
+        self.window_bytes = int(env_win) if env_win else window_bytes
         self._f = open(path, "rb")
         self._size = os.fstat(self._f.fileno()).st_size
         self._ibuf: np.ndarray | None = None  # reusable inflate buffer

@@ -193,6 +193,22 @@ def _host_census(census, qsum, pos, cigar, cigar_off, seq4, qual, seq_off,
     del n
 
 
+def census_checksum(census: np.ndarray, qsum: np.ndarray):
+    """Host-side order-independent weighted checksum, two uint32 lanes;
+    identical math to DeviceCensusPipeline.finish_checksum (wrapping
+    mod 2^32)."""
+    c = np.ascontiguousarray(census, np.int64).astype(np.uint32).ravel()
+    q = np.ascontiguousarray(qsum, np.int64).astype(np.uint32).ravel()
+    v = np.concatenate([c, q])
+    idx = np.arange(v.size, dtype=np.uint32)
+    with np.errstate(over="ignore"):
+        w1 = idx * np.uint32(2654435761)
+        w2 = (idx + np.uint32(0x9E3779B9)) * np.uint32(40503)
+        s1 = int((v * w1).sum(dtype=np.uint64) & 0xFFFFFFFF)
+        s2 = int((v * w2).sum(dtype=np.uint64) & 0xFFFFFFFF)
+    return s1, s2
+
+
 _NT16_OF4 = np.array([1, 2, 4, 8, 15], np.uint8)
 
 
@@ -384,6 +400,36 @@ class DeviceCensusPipeline:
         _host_census(self.host_census, self.host_qsum, sub_pos, cig, coff,
                      seq4, qual, soff, self.ref_int, self.min_baseq,
                      self.baq_flag)
+
+    # ------------------------------------------------------------------
+    def finish_checksum(self):
+        """Two-lane weighted checksum of (census, qsum), fetched as TWO
+        scalars instead of the full arrays — the d2h-minimal way to
+        assert equality with a host-computed census when the link is
+        degraded.  The checksum is linear, so the device part and the
+        host-fallback part combine by addition mod 2^32."""
+        import jax
+        import jax.numpy as jnp
+        if self._pending is not None:
+            prev, self._pending = self._pending, None
+            self._drain(prev)
+        wlen = self.wlen
+
+        @jax.jit
+        def _ck(c):
+            v = c[:wlen, :5].astype(jnp.uint32).ravel()
+            q = c[:wlen, 5].astype(jnp.uint32)
+            idx = jnp.arange(v.size + q.size, dtype=jnp.uint32)
+            w1 = idx * jnp.uint32(2654435761)
+            w2 = (idx + jnp.uint32(0x9E3779B9)) * jnp.uint32(40503)
+            allv = jnp.concatenate([v, q])
+            s1 = jnp.sum(allv * w1, dtype=jnp.uint32)
+            s2 = jnp.sum(allv * w2, dtype=jnp.uint32)
+            return s1, s2
+
+        s1, s2 = jax.device_get(_ck(self.census_dev))
+        h1, h2 = census_checksum(self.host_census, self.host_qsum)
+        return (int(s1) + h1) & 0xFFFFFFFF, (int(s2) + h2) & 0xFFFFFFFF
 
     # ------------------------------------------------------------------
     def finish(self):

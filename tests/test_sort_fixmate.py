@@ -158,3 +158,26 @@ def test_sort_external_packed_merge_stress(tmp_path):
                        str(tmp_path / "sp"), "-O", "SAM", "-o", "-", src])
     assert rc == 0
     assert _no_pg(ext) == _no_pg(mem)
+
+
+def test_fixmate_streamed_chunks_match_single(tmp_path):
+    """Chunked streaming fixmate (template-run carry across windows)
+    must equal the single-chunk result."""
+    import subprocess
+    src = f"{R}/dat/test_input_1_a.sam"
+    nsort = str(tmp_path / "n.bam")
+    rc, _ = run_cli(["sort", "-n", "-o", nsort, src])
+    assert rc == 0
+    outs = []
+    for win in (None, "2048"):
+        env = dict(os.environ, SAMTPU_PLATFORM="cpu", JAX_PLATFORMS="cpu",
+                   PYTHONPATH=REPO)
+        if win:
+            env["SAMTPU_STREAM_WINDOW"] = win
+        p = subprocess.run(
+            [sys.executable, "-m", "samtools_tpu", "fixmate", "-m",
+             "-O", "sam", "--no-PG", nsort, "-"],
+            capture_output=True, env=env)
+        assert p.returncode == 0, p.stderr.decode()
+        outs.append(p.stdout)
+    assert outs[0] == outs[1]
