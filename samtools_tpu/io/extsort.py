@@ -46,7 +46,7 @@ def write_run(fn: str, batch: ReadBatch) -> None:
             arr.tofile(f)
 
 
-def read_run_chunks(fn: str, rows: int = 1 << 18):
+def read_run_chunks(fn: str, rows: int = 1 << 16):
     """Yield ReadBatch chunks of a spill run via memmap row slices."""
     import struct
     with open(fn, "rb") as f:

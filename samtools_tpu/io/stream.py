@@ -246,8 +246,10 @@ class WindowedReader:
     the span-block pattern (bam_consensus.c:2626) used by the streamed
     pileup-family tools."""
 
-    def __init__(self, streams, window_cols: int = 4 << 20,
+    def __init__(self, streams, window_cols: int = 1 << 20,
                  filter_fn=None, fields: int = 31):
+        # 1M columns: at 60x short-read coverage one window's expanded
+        # entry temporaries stay ~1-2 GB; 4M-column windows peaked 17 GB
         self.streams = streams
         self.window = window_cols
         self.filter_fn = filter_fn
