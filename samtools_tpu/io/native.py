@@ -168,6 +168,17 @@ def _load():
             ]
         except AttributeError:
             pass
+        try:
+            lib.samtpu_nm_init_batch.restype = ctypes.c_int64
+            lib.samtpu_nm_init_batch.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.c_double,
+                ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+            ]
+        except AttributeError:
+            pass
         _lib = lib
     except OSError:
         _lib = None
@@ -491,3 +502,34 @@ def ragged_gather(flat: np.ndarray, off: np.ndarray, rows: np.ndarray,
                              out_off.ctypes.data, out.ctypes.data,
                              flat.dtype.itemsize, threads)
     return out
+
+
+def has_nm_init() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "samtpu_nm_init_batch") \
+        and lib.samtpu_nm_init_batch.argtypes is not None
+
+
+def nm_init_batch(qual: np.ndarray, seq: np.ndarray, seq_off: np.ndarray,
+                  cigar: np.ndarray, cigar_off: np.ndarray,
+                  md: np.ndarray, md_off: np.ndarray, use_mqual: int,
+                  adj_qual: int, bayes116: int, homopoly_fix: float,
+                  nm_halo: int, sc_cost: int):
+    """Batched consensus nm_init (bam_consensus.c:1012).  Mutates qual
+    in place when homopoly_fix is set; returns int32 local_nm flat."""
+    lib = _load()
+    n = seq_off.size - 1
+    qual = np.ascontiguousarray(qual, np.uint8)
+    seq = np.ascontiguousarray(seq, np.uint8)
+    seq_off = np.ascontiguousarray(seq_off, np.int64)
+    cigar = np.ascontiguousarray(cigar, np.uint32)
+    cigar_off = np.ascontiguousarray(cigar_off, np.int64)
+    md = np.ascontiguousarray(md, np.uint8)
+    md_off = np.ascontiguousarray(md_off, np.int64)
+    out = np.zeros(int(seq_off[-1]), np.int32)
+    lib.samtpu_nm_init_batch(
+        qual.ctypes.data, seq.ctypes.data, seq_off.ctypes.data,
+        cigar.ctypes.data, cigar_off.ctypes.data, md.ctypes.data,
+        md_off.ctypes.data, n, use_mqual, adj_qual, bayes116,
+        homopoly_fix, nm_halo, sc_cost, out.ctypes.data)
+    return out, qual

@@ -49,6 +49,10 @@ class Pileup:
     # column boundaries: sorted unique positions + start index per column
     col_pos: np.ndarray = field(default_factory=lambda: np.empty(0, np.int64))
     col_off: np.ndarray = field(default_factory=lambda: np.empty(0, np.int64))
+    # the (pos, arrival) sort permutation applied by _finish — lets
+    # consumers carry extra per-entry arrays computed in pre-sort
+    # (expansion) order into table order
+    order: np.ndarray = field(default_factory=lambda: np.empty(0, np.int64))
 
 
 _ENTRY_LUT = np.zeros(16, bool)
@@ -216,6 +220,7 @@ def _finish(p: Pileup) -> Pileup:
     for f in ("pos", "rid", "qpos", "is_del", "is_refskip", "is_head",
               "is_tail", "indel"):
         setattr(p, f, getattr(p, f)[order])
+    p.order = order
     if p.ins:
         inv = np.empty(p.n_entries, np.int64)
         inv[order] = np.arange(p.n_entries)

@@ -1105,7 +1105,14 @@ def basic_fasta(c: Ctx, plist, depth, pos, nth, is_insert) -> int:
     if c.iter:
         if c.iter[1] >= pos or c.iter[2] < pos:
             return 0
+    if _fasta_tid_switch(c, tid, pos) < 0:
+        return -1
+    cb, cq = consensus_base(opts, plist, pos, depth)
+    return _fasta_emit(c, tid, pos, nth, cb, cq)
 
+
+def _fasta_tid_switch(c: Ctx, tid, pos) -> int:
+    opts = c.opts
     while tid != c.last_tid:
         if c.last_tid != -1:
             if opts.all_bases:
@@ -1141,8 +1148,11 @@ def basic_fasta(c: Ctx, plist, depth, pos, nth, is_insert) -> int:
         else:
             c.last_pos = 0 if opts.all_bases else pos - 1
         break
+    return 0
 
-    cb, cq = consensus_base(opts, plist, pos, depth)
+
+def _fasta_emit(c: Ctx, tid, pos, nth, cb, cq) -> int:
+    opts = c.opts
     if not opts.show_del and cb == ord("*"):
         c.last_pos = pos
         c.last_tid = tid
@@ -1237,11 +1247,349 @@ def _stream_reads(src, opts, c: Ctx):
     yield from _filtered_reads(b, opts, sel)
 
 
+def _pileup_vec(opts, src, c: Ctx) -> int:
+    """Vectorized gap5 column engine over windowed entry tables
+    (ops/consensus_vec; bit-exact differential tests against the scalar
+    loop).  The [KERNEL] path of SURVEY §2: per-column 15-hypothesis
+    scoring as bulk table gathers + ordered segment sums instead of the
+    per-read-per-column cursor walk (bam_consensus.c:1258 via
+    consensus_pileup.c:81).  Insertion sub-columns run a small exact
+    per-site engine; windows containing pad (P) ops fall back to the
+    scalar pileup_loop with column gating."""
+    import os as _os
+
+    from ..io import native as natmod
+    from ..ops import consensus_vec as CV
+    from ..ops import pileup as plops
+    from ..ops.cigar import expand_ops
+    from ..core import aux as auxmod
+
+    use_mq = bool(opts.use_mqual)
+    cps = []
+    if opts.mode == MODE_MIXED:
+        cps = [opts.cp_precise, opts.cp_recall]
+    elif opts.mode == MODE_PRECISE:
+        cps = [opts.cp_precise]
+    else:
+        cps = [opts.cp_recall]
+
+    def flt(b):
+        fl = b.flag.astype(np.int64)
+        keep = (b.tid >= 0) & ((fl & F.FUNMAP) == 0)
+        if opts.incl_flags:
+            keep &= (fl & opts.incl_flags) != 0
+        if opts.excl_flags:
+            keep &= (fl & opts.excl_flags) == 0
+        keep &= b.mapq.astype(np.int64) >= opts.min_mqual
+        return keep
+
+    def windows():
+        if isinstance(src, tuple):
+            from ..io.stream import WindowedReader
+            yield from WindowedReader([src[1]], window_cols=1 << 20,
+                                      filter_fn=[flt])
+        else:
+            b = src
+            keep = flt(b)
+            for t in np.unique(b.tid[keep & (b.tid >= 0)]):
+                sel = np.nonzero(keep & (b.tid == t))[0]
+                yield int(t), 0, 1 << 62, [b.take(sel)]
+
+    def gated_col(wb, we):
+        def fn(cc, plist, depth, pos, nth, is_insert):
+            if pos - 1 < wb or pos - 1 >= we:
+                return 0
+            return basic_fasta(cc, plist, depth, pos, nth, is_insert)
+        return fn
+
+    for tid, wb, we, subs in windows():
+        sub = subs[0]
+        if sub.n == 0:
+            continue
+        if sub.cigar.size and ((sub.cigar & 0xF) == F.CPAD).any():
+            # pad ops: scalar engine over this window's reads
+            recs = (PRead(sub, i) for i in range(sub.n))
+            if pileup_loop(recs, nm_init, gated_col(wb, we), c) < 0:
+                return -1
+            continue
+
+        qual_flat = sub.qual
+        nm_flat = None
+        if use_mq:
+            md_vals = auxmod.batch_tag_values(sub, "MD")
+            parts = [(v.encode("latin-1") if isinstance(v, str) else b"")
+                     for v in md_vals]
+            md_off = np.zeros(sub.n + 1, np.int64)
+            for i, pb in enumerate(parts):
+                md_off[i + 1] = md_off[i] + len(pb)
+            md_arr = np.frombuffer(b"".join(parts), np.uint8).copy() \
+                if parts else np.empty(0, np.uint8)
+            if natmod.has_nm_init():
+                nm_flat, qual_flat = natmod.nm_init_batch(
+                    sub.qual.copy(), sub.seq, sub.seq_off, sub.cigar,
+                    sub.cigar_off, md_arr, md_off, 1, opts.adj_qual,
+                    1 if opts.mode == MODE_BAYES_116 else 0,
+                    opts.homopoly_fix, opts.nm_halo, opts.sc_cost)
+            else:
+                nm_flat = np.zeros(int(sub.seq_off[-1]), np.int32)
+                qual_flat = sub.qual.copy()
+                for i in range(sub.n):
+                    p = PRead(sub, i)
+                    p.qual_arr = qual_flat[sub.seq_off[i]:
+                                           sub.seq_off[i + 1]]
+                    nm_init(type("cl", (), {"opts": opts})(), p)
+                    if p.cd:
+                        nm_flat[sub.seq_off[i]:sub.seq_off[i + 1]] = \
+                            np.asarray(p.cd, np.int64) \
+                            .astype(np.uint64).astype(np.int32)
+
+        p = plops.build_pileup(sub)
+        if p.n_entries == 0:
+            continue
+        n = p.n_entries
+        rid = p.rid.astype(np.int64)
+        lq = sub.l_qseq[rid]
+        qpos = p.qpos.astype(np.int64)
+        is_del = p.is_del
+        is_rs = p.is_refskip
+        soff = sub.seq_off[rid]
+        m_has = (~is_del) & (qpos < lq)
+        base4 = np.where(is_del, 16, 15).astype(np.int64)
+        base4[m_has] = sub.seq[soff[m_has] + qpos[m_has]]
+        rawq = np.zeros(n, np.int64)
+        rawq[m_has] = qual_flat[soff[m_has] + qpos[m_has]]
+        rawq[(~is_del) & (qpos >= lq)] = 255
+        # deletion quals (get_next_base D rule): zero when the run has
+        # no preceding M base or crosses a ref-skip, else
+        # min(prev base qual, next base qual); computed per cigar op
+        # and carried through the sort permutation
+        if is_del.any():
+            t = expand_ops(sub)
+            nops = t.op.size
+            isMo = (t.op == F.CMATCH) | (t.op == F.CEQUAL) \
+                | (t.op == F.CDIFF)
+            isDo = t.op == F.CDEL
+            isNo = t.op == F.CREF_SKIP
+            idxo = np.arange(nops, dtype=np.int64)
+            lastM = np.maximum.accumulate(np.where(isMo, idxo, -1))
+            lastN = np.maximum.accumulate(np.where(isNo, idxo, -1))
+            first_op = sub.cigar_off[:-1][t.rid]
+            lastM = np.where(lastM >= first_op, lastM, -1)
+            lastN = np.where(lastN >= first_op, lastN, -1)
+            zero_del = (lastM == -1) | (lastN > lastM)
+            so_r = sub.seq_off[t.rid]
+            lq_o = sub.l_qseq[t.rid]
+            qp_o = t.qpos
+            prevq = np.where(qp_o >= 1,
+                             qual_flat[so_r + np.maximum(qp_o - 1, 0)],
+                             0).astype(np.int64)
+            nxt = np.where(
+                qp_o < lq_o, qual_flat[so_r + np.minimum(
+                    qp_o, np.maximum(lq_o - 1, 0))].astype(np.int64),
+                np.where((qp_o - 1 >= 0) & (qp_o - 1 < lq_o),
+                         qual_flat[so_r + np.clip(qp_o - 1, 0,
+                                                  None)].astype(
+                             np.int64), 0))
+            dval_op = np.where(zero_del, 0, np.minimum(prevq, nxt))
+            # expand per-op values to entries in build_pileup's
+            # pre-sort order, then permute with p.order
+            emit = plops._ENTRY_LUT[t.op]
+            e_ops = np.nonzero(emit)[0]
+            e_len = t.oplen[e_ops]
+            per_ent = np.repeat(
+                np.where(isDo[e_ops], dval_op[e_ops],
+                         np.where(isNo[e_ops], 0, -1)), e_len)
+            per_ent = per_ent[p.order]
+            dmask = per_ent >= 0
+            rawq[dmask] = per_ent[dmask]
+        so_ent = qpos - is_del.astype(np.int64)
+        if use_mq:
+            idx1 = so_ent + 1
+            in_rng = (idx1 < lq) & (lq > 0)
+            nm_loc = np.zeros(n, np.float64)
+            nm_v = nm_flat[np.minimum(soff + np.minimum(idx1,
+                                                        np.maximum(
+                                                            lq - 1, 0)),
+                                      nm_flat.size - 1)] \
+                if nm_flat.size else np.zeros(n, np.int32)
+            nm_masked = (nm_v.astype(np.int64) & ((1 << 24) - 1))
+            nm_loc = np.where(in_rng, nm_masked / 10.0,
+                              nm_masked.astype(np.float64))
+            nm_loc = np.where(lq > 0, nm_loc, 0.0)
+            poly = np.where(in_rng, nm_v.astype(np.int64) >> 24, 0)
+        else:
+            nm_loc = np.zeros(n, np.float64)
+            poly = np.zeros(n, np.int64)
+        cnt = np.diff(p.col_off)
+        td_ent = np.repeat(cnt, cnt)
+        q0v = np.zeros(n, bool)
+        has0 = lq > 0
+        q0v[has0] = qual_flat[soff[has0]] == 255
+        q0flag = (rawq == 0) & q0v & (lq > 0)
+        keep = (rawq >= opts.min_qual) & ~is_rs
+
+        results = []
+        for cp in cps:
+            b6, q, q2 = CV.entry_quals(rawq, base4, sub.mapq[rid],
+                                       nm_loc, poly, td_ent, opts,
+                                       use_mq, q0flag)
+            S, counts, depth = CV.gap5_scores(p.col_off, b6, q, q2,
+                                              keep, cp)
+            results.append(CV.gap5_finalize(S, counts, depth, cp))
+        cons = (CV.gap5m_blend(results[0], results[1])
+                if len(results) == 2 else results[0])
+        cb, cq = CV.consensus_base_vec(cons, opts)
+
+        colpos = p.col_pos
+        inw = (colpos >= wb) & (colpos < we)
+        ins_by_col = {}
+        if p.ins:
+            for eidx, v in p.ins.items():
+                ci = int(np.searchsorted(colpos, p.pos[eidx]))
+                ins_by_col.setdefault(ci, []).append((eidx, v))
+        cols = np.nonzero(inw)[0]
+        if cols.size == 0:
+            continue
+        if _fasta_tid_switch(c, tid, int(colpos[cols[0]]) + 1) < 0:
+            return -1
+        # bulk emission: maximal runs of consecutive, non-'*', anchor
+        # -free columns append their chars/quals in one go (the
+        # per-column path handles gaps, deletions and insertions)
+        simple = (cb[cols] != ord("*"))
+        if ins_by_col:
+            has_anchor = np.isin(cols, np.fromiter(
+                ins_by_col, np.int64, len(ins_by_col)))
+            simple &= ~has_anchor
+        consec = np.ones(cols.size, bool)
+        consec[1:] = np.diff(colpos[cols]) == 1
+        qch = np.minimum(cq[cols], ord("~") - ord("!")) + ord("!")
+        k = 0
+        ncols_w = cols.size
+        while k < ncols_w:
+            ci = int(cols[k])
+            pos1 = int(colpos[ci]) + 1
+            if simple[k] and pos1 == c.last_pos + 1:
+                j = k + 1
+                while j < ncols_w and simple[j] and consec[j]:
+                    j += 1
+                c.seq.extend(bytes(cb[cols[k:j]].astype(np.uint8))
+                             .decode("latin-1"))
+                c.qual.extend(bytes(qch[k:j].astype(np.uint8))
+                              .decode("latin-1"))
+                c.last_pos = int(colpos[cols[j - 1]]) + 1
+                c.last_tid = tid
+                k = j
+                continue
+            if _fasta_emit(c, tid, pos1, 0, int(cb[ci]),
+                           int(cq[ci])) < 0:
+                return -1
+            anchors = ins_by_col.get(ci)
+            if anchors and opts.show_ins:
+                if _ins_columns_vec(opts, sub, p, ci, anchors,
+                                    qual_flat, nm_flat, rawq, so_ent,
+                                    cps, c, tid, pos1, use_mq) < 0:
+                    return -1
+            k += 1
+    return 0
+
+
+def _ins_columns_vec(opts, sub, p, ci, anchors, qual_flat, nm_flat,
+                     rawq, so_ent, cps, c, tid, pos1, use_mq) -> int:
+    """Exact insertion sub-column engine for one anchor site: the
+    (pos, nth) grammar of consensus_pileup.c get_next_base — anchored
+    reads emit their inserted bases, everything else pads '*' with the
+    min-qual carry rule."""
+    from ..ops import consensus_vec as CV
+    lo, hi = int(p.col_off[ci]), int(p.col_off[ci + 1])
+    amap = {int(e): v for e, v in anchors}
+    parts = [e for e in range(lo, hi)
+             if e in amap or not p.is_tail[e]]
+    if not parts:
+        return 0
+    maxn = max(len(v[0]) for v in amap.values())
+    state_q = {e: int(rawq[e]) for e in parts}
+    state_so = {e: int(so_ent[e]) for e in parts}
+    mask24 = (1 << 24) - 1
+    for nth in range(1, maxn + 1):
+        b4l, rql, mql, nml, pll, q0l = [], [], [], [], [], []
+        for e in parts:
+            r = int(p.rid[e])
+            s0 = int(sub.seq_off[r])
+            lqr = int(sub.seq_off[r + 1]) - s0
+            a = amap.get(e)
+            if a is not None and nth <= len(a[0]):
+                qp = a[2][nth - 1]
+                if qp >= 0:
+                    b4 = int(sub.seq[s0 + qp])
+                    rq = int(qual_flat[s0 + qp])
+                    state_q[e] = rq
+                    state_so[e] = qp
+                else:
+                    b4 = 16
+                    i2 = state_so[e] + 1
+                    nxtq = int(qual_flat[s0 + i2]) \
+                        if 0 <= i2 < lqr else 0
+                    rq = min(state_q[e], nxtq)
+                    state_q[e] = rq
+            else:
+                b4 = 16
+                i2 = state_so[e] + 1
+                nxtq = int(qual_flat[s0 + i2]) if 0 <= i2 < lqr else 0
+                rq = min(state_q[e], nxtq)
+                state_q[e] = rq
+            b4l.append(b4)
+            rql.append(rq)
+            mql.append(int(sub.mapq[r]))
+            if use_mq and nm_flat is not None and lqr > 0:
+                i1 = state_so[e] + 1
+                if 0 <= i1 < lqr:
+                    v = int(nm_flat[s0 + i1])
+                    nml.append((v & mask24) / 10.0)
+                    pll.append(v >> 24)
+                else:
+                    v = int(nm_flat[s0 + max(min(i1, lqr - 1), 0)])
+                    nml.append(float(v & mask24))
+                    pll.append(0)
+            else:
+                nml.append(0.0)
+                pll.append(0)
+            q0l.append(lqr > 0 and rq == 0
+                       and int(qual_flat[s0]) == 255)
+        k = len(parts)
+        col_off = np.array([0, k], np.int64)
+        rqa = np.array(rql, np.int64)
+        keep = rqa >= opts.min_qual
+        results = []
+        for cp in cps:
+            b6, q, q2 = CV.entry_quals(
+                rqa, np.array(b4l, np.int64), np.array(mql, np.int64),
+                np.array(nml, np.float64), np.array(pll, np.int64),
+                np.full(k, k, np.int64), opts, use_mq,
+                np.array(q0l, bool))
+            S, counts, depth = CV.gap5_scores(col_off, b6, q, q2, keep,
+                                              cp)
+            results.append(CV.gap5_finalize(S, counts, depth, cp))
+        cons = (CV.gap5m_blend(results[0], results[1])
+                if len(results) == 2 else results[0])
+        cb, cq = CV.consensus_base_vec(cons, opts)
+        if _fasta_emit(c, tid, pos1, nth, int(cb[0]), int(cq[0])) < 0:
+            return -1
+    return 0
+
+
 def _run_one(opts, b, c: Ctx):
     """One pileup_loop pass + trailing output (pileup_loop_serial)."""
     seq_init = nm_init if opts.mode != MODE_SIMPLE else None
     col_fn = basic_pileup if opts.fmt == PILEUP else basic_fasta
-    if pileup_loop(_stream_reads(b, opts, c), seq_init, col_fn, c) < 0:
+    import os as _os
+    use_vec = (opts.fmt != PILEUP and c.iter is None
+               and opts.mode in (MODE_RECALL, MODE_PRECISE, MODE_MIXED)
+               and _os.environ.get("SAMTPU_CONSENSUS_VEC", "1") != "0")
+    if use_vec:
+        if _pileup_vec(opts, b, c) < 0:
+            return -1
+    elif pileup_loop(_stream_reads(b, opts, c), seq_init, col_fn,
+                     c) < 0:
         return -1
 
     if opts.fmt == PILEUP:
