@@ -1113,6 +1113,8 @@ def basic_fasta(c: Ctx, plist, depth, pos, nth, is_insert) -> int:
 
 def _fasta_tid_switch(c: Ctx, tid, pos) -> int:
     opts = c.opts
+    if getattr(c, "span_first", None) is None:
+        c.span_first = pos
     while tid != c.last_tid:
         if c.last_tid != -1:
             if opts.all_bases:
@@ -1247,6 +1249,10 @@ def _stream_reads(src, opts, c: Ctx):
     yield from _filtered_reads(b, opts, sel)
 
 
+class _NoIndex(Exception):
+    pass
+
+
 def _pileup_vec(opts, src, c: Ctx) -> int:
     """Vectorized gap5 column engine over windowed entry tables
     (ops/consensus_vec; bit-exact differential tests against the scalar
@@ -1283,7 +1289,34 @@ def _pileup_vec(opts, src, c: Ctx) -> int:
         keep &= b.mapq.astype(np.int64) >= opts.min_mqual
         return keep
 
+    it_tid = it_beg = it_end = None
+    if c.iter:
+        it_tid, it_beg, it_end = c.iter
+
     def windows():
+        if c.iter:
+            # span-restricted windows (region / shard worker)
+            W = 1 << 20
+            if isinstance(src, tuple):
+                st = src[1]
+                for blk in range(it_beg, it_end, W):
+                    be = min(blk + W, it_end)
+                    qb = st.query(it_tid, blk, be)
+                    if qb is None:
+                        raise _NoIndex()
+                    keep = flt(qb)
+                    yield it_tid, blk, be, [qb.take(
+                        np.nonzero(keep)[0])]
+            else:
+                b = src
+                keep = flt(b)
+                endp = _endpos_arr(b)
+                for blk in range(it_beg, it_end, W):
+                    be = min(blk + W, it_end)
+                    sel = np.nonzero(keep & (b.tid == it_tid)
+                                     & (b.pos < be) & (endp > blk))[0]
+                    yield it_tid, blk, be, [b.take(sel)]
+            return
         if isinstance(src, tuple):
             from ..io.stream import WindowedReader
             yield from WindowedReader([src[1]], window_cols=1 << 20,
@@ -1442,6 +1475,8 @@ def _pileup_vec(opts, src, c: Ctx) -> int:
 
         colpos = p.col_pos
         inw = (colpos >= wb) & (colpos < we)
+        if c.iter:
+            inw &= (colpos >= it_beg) & (colpos < it_end)
         ins_by_col = {}
         if p.ins:
             for eidx, v in p.ins.items():
@@ -1582,14 +1617,17 @@ def _run_one(opts, b, c: Ctx):
     seq_init = nm_init if opts.mode != MODE_SIMPLE else None
     col_fn = basic_pileup if opts.fmt == PILEUP else basic_fasta
     import os as _os
-    use_vec = (opts.fmt != PILEUP and c.iter is None
+    use_vec = (opts.fmt != PILEUP
                and opts.mode in (MODE_RECALL, MODE_PRECISE, MODE_MIXED)
                and _os.environ.get("SAMTPU_CONSENSUS_VEC", "1") != "0")
     if use_vec:
-        if _pileup_vec(opts, b, c) < 0:
-            return -1
-    elif pileup_loop(_stream_reads(b, opts, c), seq_init, col_fn,
-                     c) < 0:
+        try:
+            if _pileup_vec(opts, b, c) < 0:
+                return -1
+        except _NoIndex:
+            use_vec = False
+    if not use_vec and pileup_loop(_stream_reads(b, opts, c), seq_init,
+                                   col_fn, c) < 0:
         return -1
 
     if opts.fmt == PILEUP:
@@ -1677,6 +1715,153 @@ LONG_OPTS = [
     "homopoly-redux=", "qual-calibration=", "config=", "ref-qual=",
     "block-size=", "reference=",
 ]
+
+
+def _cons_n_shards() -> int:
+    import os as _os
+    v = _os.environ.get("SAMTPU_SHARDS", "1")
+    try:
+        return max(int(v), 1)
+    except ValueError:
+        return 1
+
+
+def _run_sharded_consensus(opts, argv, path, shards) -> int | None:
+    """Span-block parallel consensus: the direct analog of the
+    reference's pileup_loop_parallel (bam_consensus.c:2626-2891) —
+    contiguous genome spans dispatched to worker processes, each
+    running the identical engine over its span with its own file
+    handle, results seam-stitched in order (append_cons analog).
+    Workers speak a raw protocol (#SPANMETA first last, seq, qual);
+    the parent fills inter-span gaps by the same lazy rules the
+    serial emitter uses.  Returns None to fall back to serial."""
+    import os as _os
+    import subprocess
+    import tempfile
+
+    header = opts.header
+    spans_by_tid: dict[int, list] = {}
+    for tid in range(header.n_refs):
+        ln = int(header.ref_lens[tid])
+        if ln <= 0:
+            continue
+        step = max((ln + shards - 1) // shards, 1 << 20)
+        spans_by_tid[tid] = [(beg, min(beg + step, ln))
+                             for beg in range(0, ln, step)]
+    total_spans = sum(len(v) for v in spans_by_tid.values())
+    if total_spans <= 1:
+        return None
+    fwd = []
+    skip = False
+    for a in argv:
+        if skip:
+            skip = False
+            continue
+        if a in ("-o", "--output", "-r", "--region"):
+            skip = True
+            continue
+        fwd.append(a)
+
+    jobs = []   # (tid, beg, end, tmpfile, proc)
+    env = dict(_os.environ)
+    env.pop("SAMTPU_SHARDS", None)
+    try:
+        pending = []
+        for tid in sorted(spans_by_tid):
+            for beg, end in spans_by_tid[tid]:
+                pending.append((tid, beg, end))
+        procs = []
+        for tid, beg, end in pending:
+            tf = tempfile.NamedTemporaryFile(
+                prefix="cons.span.", suffix=".raw", delete=False)
+            tf.close()
+            wenv = dict(env, SAMTPU_CONSENSUS_SPAN=f"{tid}:{beg}:{end}")
+            p = subprocess.Popen(
+                [sys.executable, "-m", "samtools_tpu", "consensus"]
+                + fwd + ["-o", tf.name], env=wenv,
+                stderr=subprocess.DEVNULL)
+            jobs.append((tid, beg, end, tf.name, p))
+            procs.append(p)
+            while sum(q.poll() is None for q in procs) >= shards:
+                procs[-shards].wait()
+        for _, _, _, _, p in jobs:
+            if p.wait() != 0:
+                return None  # worker failed (e.g. no index): serial
+
+        c = Ctx(opts)
+        ji = 0
+        for tid in sorted(spans_by_tid):
+            name = header.ref_name(tid)
+            results = []
+            for beg, end in spans_by_tid[tid]:
+                _, _, _, fn, _ = jobs[ji]
+                ji += 1
+                with open(fn, "rb") as fh:
+                    meta = fh.readline().split()
+                    first = int(meta[1])
+                    last = int(meta[2])
+                    seq = fh.readline().rstrip(b"\n").decode("latin-1")
+                    qual = fh.readline().rstrip(b"\n") \
+                        .decode("latin-1")
+                results.append((beg, end, first, last, seq, qual))
+            any_cov = any(r[2] >= 0 for r in results)
+            if not any_cov:
+                if opts.all_bases > 1:
+                    ln = int(header.ref_lens[tid])
+                    fseq, fqual = _span_fill(opts, c, tid, 1, ln)
+                    dump_fastq(opts, name, [fseq], [fqual])
+                continue
+            seqs: list[str] = []
+            quals: list[str] = []
+            global_last = None
+            for beg, end, first, last, seq, qual in results:
+                if first < 0:
+                    continue
+                if opts.all_bases:
+                    first_eff = beg + 1
+                else:
+                    first_eff = first
+                if global_last is None:
+                    if opts.all_bases and first_eff > 1:
+                        fs, fq = _span_fill(opts, c, tid, 1,
+                                            first_eff - 1)
+                        seqs.append(fs)
+                        quals.append(fq)
+                elif first_eff > global_last + 1:
+                    fs, fq = _span_fill(opts, c, tid, global_last + 1,
+                                        first_eff - 1)
+                    seqs.append(fs)
+                    quals.append(fq)
+                seqs.append(seq)
+                quals.append(qual)
+                global_last = last
+            if opts.all_bases:
+                ln = int(header.ref_lens[tid])
+                if global_last is not None and global_last < ln:
+                    fs, fq = _span_fill(opts, c, tid, global_last + 1,
+                                        ln)
+                    seqs.append(fs)
+                    quals.append(fq)
+            dump_fastq(opts, name, seqs, quals)
+        return 0
+    finally:
+        for _, _, _, fn, _ in jobs:
+            try:
+                _os.remove(fn)
+            except OSError:
+                pass
+
+
+def _span_fill(opts, c: Ctx, tid, lo1, hi1):
+    """Gap fill chars for 1-based positions [lo1, hi1] — the lazy-fill
+    rule of _fasta_emit (ref bases at ref_qual, else N/!)."""
+    n = hi1 - lo1 + 1
+    if n <= 0:
+        return "", ""
+    if opts.ref_fn and update_ref(c, tid) > 0 and c.ref is not None:
+        return (c.ref[lo1 - 1:hi1],
+                chr(opts.ref_qual + 33) * n)
+    return "N" * n, "!" * n
 
 
 def main_consensus(argv: list[str]) -> int:
@@ -1912,6 +2097,45 @@ def main_consensus(argv: list[str]) -> int:
         except OSError as e:
             sys.stderr.write("%s: %s\n" % (out_path, e.strerror))
             return 1
+
+    import os as _os
+    span_env = _os.environ.get("SAMTPU_CONSENSUS_SPAN")
+    if span_env and opts.fmt != PILEUP and opts.mode != MODE_SIMPLE:
+        tid_s, bg_s, e_s = (int(x) for x in span_env.split(":"))
+        c = Ctx(opts)
+        c.iter = (tid_s, bg_s, e_s)
+        c.last_pos = bg_s
+        try:
+            rc = _pileup_vec(opts, b, c)
+        except _NoIndex:
+            rc = -9
+        if rc < 0:
+            return 1 if rc == -1 else 3
+        first = getattr(c, "span_first", None)
+        w = opts.fp_out
+        w.write("#SPANMETA %d %d\n"
+                % (-1 if first is None else first, c.last_pos))
+        w.write("".join(c.seq))
+        w.write("\n")
+        w.write("".join(c.qual))
+        w.write("\n")
+        if stream is not None:
+            stream.close()
+        if opts.fp_out is not sys.stdout:
+            opts.fp_out.close()
+        return 0
+
+    shards = _cons_n_shards()
+    if (shards > 1 and not opts.bed and not opts.reg
+            and opts.fmt != PILEUP and opts.mode != MODE_SIMPLE
+            and stream is not None and not span_env):
+        rc = _run_sharded_consensus(opts, argv, args[0], shards)
+        if rc is not None:
+            if stream is not None:
+                stream.close()
+            if opts.fp_out is not sys.stdout:
+                opts.fp_out.close()
+            return rc
 
     ret = 0
     if opts.bed:

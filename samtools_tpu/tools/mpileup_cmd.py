@@ -513,6 +513,14 @@ def main_mpileup(argv: list[str]) -> int:
             sys.stderr.write(f"[E::mpileup] fail to parse region '{reg}'\n")
             return 1
 
+    shards = _n_shards()
+    if (shards > 1 and not reg and not conf.get("checkpoint")
+            and len(args) == 1 and args[0] != "-"
+            and os.environ.get("SAMTPU_MPILEUP_SHARD_WORKER") != "1"):
+        rc = _run_sharded(argv, args[0], header, shards, out_fname)
+        if rc is not None:
+            return rc
+
     ck_state = None
     if conf.get("checkpoint"):
         if not out_fname:
@@ -533,6 +541,91 @@ def main_mpileup(argv: list[str]) -> int:
     if out is not sys.stdout:
         out.close()
     return rc
+
+
+def _n_shards() -> int:
+    v = os.environ.get("SAMTPU_SHARDS", "1")
+    try:
+        return max(int(v), 1)
+    except ValueError:
+        return 1
+
+
+def _run_sharded(argv, path, header, shards, out_fname) -> int | None:
+    """Span-block parallel mpileup: the genome is split into
+    length-balanced contiguous span lists, one worker process per
+    shard runs the identical tool over its spans (-r region column
+    ownership == window ownership), and the outputs concatenate in
+    span order.  The process-level generalization of the reference's
+    span-block pool (bam_consensus.c:2626) applied to mpileup; also
+    the single-host form of the BASELINE region axis.  Returns None to
+    fall through to the serial path when sharding is not applicable."""
+    import subprocess
+    import tempfile
+
+    spans = []
+    for tid in range(header.n_refs):
+        ln = int(header.ref_lens[tid])
+        if ln <= 0:
+            continue
+        step = max((ln + shards - 1) // shards, 1 << 20)
+        for beg in range(0, ln, step):
+            spans.append((tid, beg, min(beg + step, ln)))
+    if len(spans) <= 1:
+        return None
+    # strip -o/--output from the forwarded argv (workers write temps)
+    fwd = []
+    skip = False
+    for a in argv:
+        if skip:
+            skip = False
+            continue
+        if a in ("-o", "--output"):
+            skip = True
+            continue
+        fwd.append(a)
+    procs = []
+    tmps = []
+    env = dict(os.environ, SAMTPU_MPILEUP_SHARD_WORKER="1")
+    try:
+        for k, (tid, beg, end) in enumerate(spans):
+            tf = tempfile.NamedTemporaryFile(
+                prefix=f"mpileup.shard{k:03d}.", suffix=".txt",
+                delete=False)
+            tmps.append(tf.name)
+            tf.close()
+            reg = "%s:%d-%d" % (header.ref_names[tid], beg + 1, end)
+            p = subprocess.Popen(
+                [sys.executable, "-m", "samtools_tpu", "mpileup",
+                 "-r", reg] + fwd + ["-o", tf.name],
+                env=env, stderr=subprocess.DEVNULL)
+            procs.append(p)
+            while sum(q.poll() is None for q in procs) >= shards:
+                procs[-shards].wait()
+        for p in procs:
+            if p.wait() != 0:
+                return 1
+        out = open(out_fname, "wb") if out_fname else sys.stdout.buffer
+        try:
+            for fn in tmps:
+                with open(fn, "rb") as fh:
+                    while True:
+                        chunk = fh.read(1 << 22)
+                        if not chunk:
+                            break
+                        out.write(chunk)
+        finally:
+            if out_fname:
+                out.close()
+            else:
+                out.flush()
+        return 0
+    finally:
+        for fn in tmps:
+            try:
+                os.remove(fn)
+            except OSError:
+                pass
 
 
 def _count_samples(files, paths, conf) -> int:

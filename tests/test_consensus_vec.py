@@ -202,3 +202,47 @@ def test_native_nm_init_matches_python():
             if homopoly:
                 assert np.array_equal(mq[seq_off[i]:seq_off[i + 1]],
                                       p.qual_arr), (i, "qualfix")
+
+
+def test_sharded_consensus_matches_serial(tmp_path):
+    """SAMTPU_SHARDS span workers + seam stitching == serial output
+    (pileup_loop_parallel analog, bam_consensus.c:2626)."""
+    import os
+    import subprocess
+    import sys
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = "/root/reference/test/consensus/consen2.sam"
+    bam = str(tmp_path / "in.bam")
+    env = dict(os.environ, SAMTPU_PLATFORM="cpu", JAX_PLATFORMS="cpu",
+               PYTHONPATH=REPO)
+    subprocess.run([sys.executable, "-m", "samtools_tpu", "view", "-b",
+                    "--write-index", "-o", bam, src], env=env, check=True)
+    outs = []
+    for shards in ("1", "3"):
+        e = dict(env, SAMTPU_SHARDS=shards)
+        p = subprocess.run([sys.executable, "-m", "samtools_tpu",
+                            "consensus", bam], capture_output=True,
+                           env=e)
+        assert p.returncode == 0, p.stderr.decode()
+        outs.append(p.stdout)
+    assert outs[0] == outs[1]
+
+
+def test_sharded_mpileup_matches_serial(tmp_path):
+    import os
+    import subprocess
+    import sys
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    R = "/root/reference/test/mpileup"
+    env = dict(os.environ, SAMTPU_PLATFORM="cpu", JAX_PLATFORMS="cpu",
+               PYTHONPATH=REPO)
+    outs = []
+    for shards in ("1", "4"):
+        e = dict(env, SAMTPU_SHARDS=shards)
+        p = subprocess.run([sys.executable, "-m", "samtools_tpu",
+                            "mpileup", "-B", "-f", f"{R}/c1.fa",
+                            f"{R}/c1#pad2.bam"], capture_output=True,
+                           env=e)
+        assert p.returncode == 0, p.stderr.decode()
+        outs.append(p.stdout)
+    assert outs[0] == outs[1]
