@@ -337,3 +337,93 @@ def consensus_base_vec(cons, opts):
     cb = np.where(cut, ord("N"), cb)
     cq = np.where(cut, 0, cq)
     return cb, cq
+
+
+# ---------------------------------------------------------------- device
+_DEV_SEGSUM = None
+
+
+def _get_dev_segsum():
+    global _DEV_SEGSUM
+    if _DEV_SEGSUM is not None:
+        return _DEV_SEGSUM
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("ncols",))
+    def f(T_dev, b6, q, q2, keepf, col_ids, ncols: int):
+        C = T_dev[b6, q, q2] * keepf[:, None]
+        return jax.ops.segment_sum(C, col_ids, num_segments=ncols,
+                                   indices_are_sorted=True)
+
+    _DEV_SEGSUM = f
+    return f
+
+
+_T_DEV_CACHE: dict = {}
+
+
+def gap5_scores_device(col_off, base6, q, q2, keep, cp):
+    """Device variant of gap5_scores: f32 table gathers + one sorted
+    segment_sum on the accelerator.  Column sums lose the scalar
+    loop's f64 addition order, so callers MUST pair this with
+    finalize_risky() and recompute flagged columns via the exact host
+    path.  Returns (S float64-cast-of-f32, counts, depth)."""
+    import jax
+    import jax.numpy as jnp
+    T = gap5_table9(cp)
+    key = id(cp)
+    got = _T_DEV_CACHE.get(key)
+    if got is None or got[0] is not cp:
+        if len(_T_DEV_CACHE) > 4:
+            _T_DEV_CACHE.clear()
+        got = (cp, jax.device_put(jnp.asarray(T, jnp.float32)))
+        _T_DEV_CACHE[key] = got
+    T_dev = got[1]
+    ncols = col_off.size - 1
+    counts = np.zeros((ncols, 6), np.int64)
+    kpre = np.zeros(base6.size + 1, np.int64)
+    np.cumsum(keep.astype(np.int64), out=kpre[1:])
+    depth = kpre[col_off[1:]] - kpre[col_off[:-1]]
+    col_ids = np.repeat(np.arange(ncols, dtype=np.int32),
+                        np.diff(col_off))
+    kidx = np.nonzero(keep)[0]
+    np.add.at(counts, (col_ids[kidx].astype(np.int64), base6[kidx]), 1)
+    S32 = _get_dev_segsum()(
+        T_dev, jnp.asarray(base6.astype(np.int32)),
+        jnp.asarray(q.astype(np.int32)), jnp.asarray(q2.astype(np.int32)),
+        jnp.asarray(keep.astype(np.float32)), jnp.asarray(col_ids),
+        int(ncols))
+    S = np.asarray(jax.device_get(S32)).astype(np.float64)
+    return S, counts, depth
+
+
+def finalize_risky(S32, counts, depth, cp, eps: float = 2e-2):
+    """Finalize an f32-accumulated S and flag columns whose outcome
+    could differ from the exact f64 entry-order sum.
+
+    eps bounds the f32 segment-sum error (depth x |contribution| x
+    2^-24 with ample margin).  Risky when (a) any argmax top-2 gap is
+    within 2*eps (a coordinate-wise perturbation could flip the
+    call/het winner), or (b) any output field changes under two
+    structured +-eps perturbation patterns (catches the nonlinear
+    phred/logodd rounding boundaries).  Flagged columns must be
+    recomputed through the exact host path."""
+    ncols = S32.shape[0]
+    Sl = S32 + np.asarray(cp.lprior15)[None, :]
+    risky = np.zeros(ncols, bool)
+    for grp in (PURE, NONPURE, np.arange(15)):
+        sub = Sl[:, grp]
+        if sub.shape[1] >= 2:
+            part = np.partition(sub, sub.shape[1] - 2, axis=1)
+            gap = part[:, -1] - part[:, -2]
+            risky |= gap < 2 * eps
+    mid = gap5_finalize(S32, counts, depth, cp)
+    # structured perturbations: alternating-sign and sign-flipped
+    pat = np.where((np.arange(15) % 2) == 0, eps, -eps)[None, :]
+    for r in (pat, -pat):
+        alt = gap5_finalize(S32 + r, counts, depth, cp)
+        for a, b in zip(mid, alt):
+            risky |= a != b
+    return mid, risky

@@ -1249,6 +1249,26 @@ def _stream_reads(src, opts, c: Ctx):
     yield from _filtered_reads(b, opts, sel)
 
 
+def _cons_use_device(n_entries: int) -> bool:
+    """Device gap5 scorer gate: forced via SAMTPU_DEVICE=1 (tests run
+    it on the cpu jax backend), auto only when an accelerator exists
+    AND the d2h link can carry the [cols,15] f32 score fetch."""
+    import os as _os
+    env = _os.environ.get("SAMTPU_DEVICE", "auto")
+    if env in ("1", "device", "force"):
+        return True
+    if env in ("0", "host"):
+        return False
+    from ..engine import use_device
+    if not use_device(n_entries):
+        return False
+    from ..ops.baq import _d2h_rate_cached, _d2h_rate
+    r = _d2h_rate_cached()
+    if r is None:
+        r = _d2h_rate()
+    return r >= 50e6
+
+
 class _NoIndex(Exception):
     pass
 
@@ -1462,13 +1482,38 @@ def _pileup_vec(opts, src, c: Ctx) -> int:
         keep = (rawq >= opts.min_qual) & ~is_rs
 
         results = []
+        use_dev = _cons_use_device(p.n_entries)
         for cp in cps:
             b6, q, q2 = CV.entry_quals(rawq, base4, sub.mapq[rid],
                                        nm_loc, poly, td_ent, opts,
                                        use_mq, q0flag)
-            S, counts, depth = CV.gap5_scores(p.col_off, b6, q, q2,
-                                              keep, cp)
-            results.append(CV.gap5_finalize(S, counts, depth, cp))
+            if use_dev:
+                # device f32 segment-sum scorer + risky gating; flagged
+                # columns recompute through the exact host path (the
+                # BAQ risky-read pattern applied to columns)
+                S32, counts, depth = CV.gap5_scores_device(
+                    p.col_off, b6, q, q2, keep, cp)
+                fin, risky = CV.finalize_risky(S32, counts, depth, cp)
+                sel = np.nonzero(risky)[0]
+                if sel.size:
+                    ent_sel = np.concatenate(
+                        [np.arange(p.col_off[ci2], p.col_off[ci2 + 1])
+                         for ci2 in sel])
+                    off2 = np.zeros(sel.size + 1, np.int64)
+                    np.cumsum(p.col_off[sel + 1] - p.col_off[sel],
+                              out=off2[1:])
+                    S2, c2, d2 = CV.gap5_scores(
+                        off2, b6[ent_sel], q[ent_sel], q2[ent_sel],
+                        keep[ent_sel], cp)
+                    fix = CV.gap5_finalize(S2, c2, d2, cp)
+                    fin = [a.copy() for a in fin]
+                    for k2 in range(5):
+                        fin[k2][sel] = fix[k2]
+                results.append(tuple(fin))
+            else:
+                S, counts, depth = CV.gap5_scores(p.col_off, b6, q, q2,
+                                                  keep, cp)
+                results.append(CV.gap5_finalize(S, counts, depth, cp))
         cons = (CV.gap5m_blend(results[0], results[1])
                 if len(results) == 2 else results[0])
         cb, cq = CV.consensus_base_vec(cons, opts)

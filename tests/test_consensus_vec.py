@@ -246,3 +246,83 @@ def test_sharded_mpileup_matches_serial(tmp_path):
         assert p.returncode == 0, p.stderr.decode()
         outs.append(p.stdout)
     assert outs[0] == outs[1]
+
+
+def test_device_scores_with_risky_gating_match_exact():
+    """Device (f32 segment-sum) scorer + risky gating + exact host
+    recompute of flagged columns == the exact host engine, bit for
+    bit (cpu jax backend)."""
+    rng = np.random.default_rng(21)
+    opts = make_opts()
+    opts.use_mqual = 1
+    cols = random_columns(rng, 800)
+    cp = opts.cp_recall
+    # exact
+    exact = vec_from_cols(cols, opts, cp, True)
+    # device path
+    ents = []
+    col_off = [0]
+    for plist in cols:
+        for p in plist:
+            nm = p.cd[1] & ((1 << 24) - 1)
+            ents.append((p.base4, p.qual, p.mapq, nm / 10.0,
+                         p.cd[1] >> 24, len(plist), p.ref_skip,
+                         p.qual_arr[0] == 255))
+        col_off.append(len(ents))
+    col_off = np.array(col_off, np.int64)
+    base4, qual, mapq, nm, poly, td, rs, q0 = map(np.array, zip(*ents))
+    b6, q, q2 = V.entry_quals(qual, base4, mapq, nm, poly, td, opts,
+                              True, np.asarray(q0, bool)
+                              & (np.asarray(qual) == 0))
+    keep = (np.asarray(qual, np.int64) >= opts.min_qual) \
+        & ~np.asarray(rs, bool)
+    S32, counts, depth = V.gap5_scores_device(col_off, b6, q, q2, keep,
+                                              cp)
+    fin, risky = V.finalize_risky(S32, counts, depth, cp)
+    fin = [a.copy() for a in fin]
+    sel = np.nonzero(risky)[0]
+    if sel.size:
+        # exact recompute of the flagged columns
+        ent_sel = np.concatenate(
+            [np.arange(col_off[c], col_off[c + 1]) for c in sel]) \
+            if sel.size else np.empty(0, np.int64)
+        off2 = np.zeros(sel.size + 1, np.int64)
+        np.cumsum(col_off[sel + 1] - col_off[sel], out=off2[1:])
+        S2, c2, d2 = V.gap5_scores(off2, b6[ent_sel], q[ent_sel],
+                                   q2[ent_sel], keep[ent_sel], cp)
+        fix = V.gap5_finalize(S2, c2, d2, cp)
+        for k in range(5):
+            fin[k][sel] = fix[k]
+    for k in range(5):
+        assert np.array_equal(fin[k], exact[k]), (k, "field mismatch",
+                                                  int(risky.sum()))
+
+
+def test_consensus_reg_device_forced():
+    """consensus.reg gap5 commands with the device scorer forced
+    (SAMTPU_DEVICE=1, cpu jax backend) — byte parity must hold through
+    the f32 segment-sum + risky-gating path."""
+    import os
+    import sys
+    import tempfile
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from reg_harness import run_reg
+    old = os.environ.get("SAMTPU_DEVICE")
+    os.environ["SAMTPU_DEVICE"] = "1"
+    try:
+        with tempfile.TemporaryDirectory() as d:
+            res = run_reg("/root/reference/test/consensus/consensus.reg",
+                          d, env_extra={"SAMTPU_DEVICE": "1"},
+                          cmd_filter=lambda cmd: "-m simple" not in cmd
+                          and "--mode simple" not in cmd
+                          # bed-region output order is the documented
+                          # khash-iteration quirk (KNOWN_ISSUES), and
+                          # the main suite compares it
+                          # order-insensitively
+                          and "--regions-file" not in cmd)
+    finally:
+        if old is None:
+            os.environ.pop("SAMTPU_DEVICE", None)
+        else:
+            os.environ["SAMTPU_DEVICE"] = old
+    assert not res.failed, res.failed[:5]
