@@ -59,6 +59,7 @@ COMMANDS = {
     "md5sum-lite": ("samtools_tpu.tools.misc_cmds", "main_md5sum_lite"),
     "seq_cache_populate": ("samtools_tpu.tools.misc_cmds",
                            "main_seq_cache_populate"),
+    "ace2sam": ("samtools_tpu.tools.ace2sam_cmd", "main_ace2sam"),
 }
 
 

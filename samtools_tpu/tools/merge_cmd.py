@@ -318,8 +318,12 @@ def _merge_streamed(streams, tables, paths, header, attach_rg, no_pg,
                              fmt, threads=ga.nthreads, level=level)
     try:
         iters = [make_iter(fi, st) for fi, st in enumerate(streams)]
-        for ob in merge_packed_iters(iters, coordinate_pack):
-            writer.write_batch(ob)
+        try:
+            for ob in merge_packed_iters(iters, coordinate_pack):
+                writer.write_batch(ob)
+        except ValueError as e:
+            print_error("merge", "%s", e)
+            return 1
     finally:
         writer.close()
     return 0

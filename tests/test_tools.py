@@ -146,3 +146,24 @@ def test_quickcheck(tmp_path):
     data = open(good, "rb").read()
     bad.write_bytes(data[:len(data) - 28 - 3])  # strip EOF block
     assert main_quickcheck(["-q", str(bad)]) != 0
+
+
+def test_ace2sam_basic(tmp_path):
+    """ACE -> SAM converter (misc/ace2sam.c behavior): pad flattening
+    to M/D/I with surplus-P squeeze, padded mode, -c consensus line."""
+    ace = tmp_path / "t.ace"
+    ace.write_text(
+        "AS 1 2\n\nCO ctg1 7 2 1 U\nCATG*AT\n\nBQ\n20 20 20 20 20 20\n"
+        "\nAF read1 U 1\nAF read2 U 2\n\nRD read1 7 0 0\nCAT**AT\n\n"
+        "QA 1 7 1 7\n\nRD read2 5 0 0\nATGCA\n\nQA 1 5 1 5\n")
+    rc, out = run_cli(["ace2sam", "-c", str(ace)])
+    assert rc == 0
+    lines = [l.split("\t") for l in out.splitlines()]
+    assert lines[0][1] == "516" and lines[0][5] == "6M"
+    assert lines[1][0] == "read1" and lines[1][5] == "3M1D2M"
+    assert lines[2][0] == "read2" and lines[2][5] == "3M1I1M"
+    rc, out = run_cli(["ace2sam", "-p", str(ace)])
+    assert rc == 0
+    lines = [l.split("\t") for l in out.splitlines()]
+    assert lines[0][5] == "3M2D2M"
+    assert lines[1][5] == "5M"
