@@ -156,13 +156,14 @@ def test_ace2sam_basic(tmp_path):
         "AS 1 2\n\nCO ctg1 7 2 1 U\nCATG*AT\n\nBQ\n20 20 20 20 20 20\n"
         "\nAF read1 U 1\nAF read2 U 2\n\nRD read1 7 0 0\nCAT**AT\n\n"
         "QA 1 7 1 7\n\nRD read2 5 0 0\nATGCA\n\nQA 1 5 1 5\n")
-    rc, out = run_cli(["ace2sam", "-c", str(ace)])
+    from samtools_tpu.tools.ace2sam_cmd import main_ace2sam
+    rc, out = run_tool(main_ace2sam, ["-c", str(ace)])
     assert rc == 0
     lines = [l.split("\t") for l in out.splitlines()]
     assert lines[0][1] == "516" and lines[0][5] == "6M"
     assert lines[1][0] == "read1" and lines[1][5] == "3M1D2M"
     assert lines[2][0] == "read2" and lines[2][5] == "3M1I1M"
-    rc, out = run_cli(["ace2sam", "-p", str(ace)])
+    rc, out = run_tool(main_ace2sam, ["-p", str(ace)])
     assert rc == 0
     lines = [l.split("\t") for l in out.splitlines()]
     assert lines[0][5] == "3M2D2M"
