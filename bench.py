@@ -148,6 +148,10 @@ def run_tool(path: str, messy: bool = False) -> dict:
     """The actual CLI, timed end-to-end (text written to a file)."""
     out = path + (".messy.pileup" if messy else ".pileup")
     env = dict(os.environ)
+    # NB: SAMTPU_SHARDS span parallelism is available but NOT enabled
+    # here — on this 2-vCPU box the fault-heavy workers contend and
+    # lose to the serial run; set SAMTPU_SHARDS explicitly on real
+    # multi-core hosts
     t0 = time.perf_counter()
     with open(out, "wb") as fh:
         p = subprocess.run(

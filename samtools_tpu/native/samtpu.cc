@@ -585,15 +585,23 @@ static int probaln_glocal(const uint8_t* ref, int64_t l_ref,
     int64_t beg = i - bw > 1 ? i - bw : 1;
     int64_t end = i + bw < l_ref ? i + bw : l_ref;
     double sum = 0.0;
+    // pass A: match/insert states read only row i-1 — no loop carry,
+    // so the compiler can vectorize; identical per-cell math to the
+    // fused loop (bit-exact)
     for (int64_t k = beg; k <= end; ++k) {
       int64_t u = set_u(i, k);
       int64_t v11 = set_u(i - 1, k - 1);
       int64_t v10 = set_u(i - 1, k);
-      int64_t v01 = set_u(i, k - 1);
       double e = ematch(k - 1, qy, ql);
       fi[u] = e * (m[0] * fi1[v11] + m[3] * fi1[v11 + 1] +
                    m[6] * fi1[v11 + 2]);
       fi[u + 1] = kEI * (m[1] * fi1[v10] + m[4] * fi1[v10 + 1]);
+    }
+    // pass B: the deletion state carries within the row; the sum keeps
+    // the original (u, u+1, u+2 per k) accumulation order
+    for (int64_t k = beg; k <= end; ++k) {
+      int64_t u = set_u(i, k);
+      int64_t v01 = set_u(i, k - 1);
       fi[u + 2] = m[2] * fi[v01] + m[8] * fi[v01 + 2];
       sum += fi[u];
       sum += fi[u + 1];
