@@ -294,10 +294,12 @@ def main() -> int:
         if mcore["census"] is not None:
             mok = (np.array_equal(mcore["census"], mbase["census"])
                    and np.array_equal(mcore["qsum"], mbase["qsum"]))
+            mmode = "census byte-identical"
         else:
             from samtools_tpu.ops.mpileup_device import census_checksum
             mok = mcore["checksum"] == census_checksum(
                 mbase["census"], mbase["qsum"])
+            mmode = "census identical via weighted checksum"
         messy_detail = {
             "tool_s": round(mtool["tool_s"], 2),
             "core_s": round(mcore["total_s"], 2),
@@ -305,7 +307,7 @@ def main() -> int:
             "host_fallback_reads": int(mcore["host_reads"]),
             "host_fallback_pct": round(
                 100.0 * mcore["host_reads"] / max(mcore["nrec"], 1), 2),
-            "parity": "census byte-identical" if mok else "MISMATCH",
+            "parity": mmode if mok else "MISMATCH",
         }
     except Exception as e:  # messy variant must never sink the bench
         messy_detail = {"error": str(e)[:200]}
