@@ -93,6 +93,7 @@ class Params:
         self.tag = False
         self.stats_file = None
         self.opt_dist = 0
+        self.tmp_prefix = None
         self.clear = False
         self.mode = 0  # t
         self.include_fails = False
@@ -261,7 +262,7 @@ def main_markdup(argv: list[str]) -> int:
         elif o == "-s":
             p.do_stats = True
         elif o == "-T":
-            pass
+            p.tmp_prefix = v
         elif o == "-S":
             p.supp = True
         elif o == "-t":
@@ -436,6 +437,7 @@ def run_markdup(p: Params, chunks, header, args, argv, ga, level) -> int:
     the qname-keyed supplementary marking (the reference's LZ4 tmp_file
     pass, bam_markdup.c:1700)."""
     import os
+    import tempfile
     from collections import deque
 
     from ..io.files import StreamingWriter
@@ -478,8 +480,17 @@ def run_markdup(p: Params, chunks, header, args, argv, ga, level) -> int:
         # bam_sort.c:3445)
         if any(ln >= (1 << 31) for ln in header.ref_lens):
             tmp_fmt = "sam.gz"
-        tmp_path = (args[1] if args[1] != "-" else "markdup_tmp") \
-            + ".supp.%d.tmp.bam" % os.getpid()
+        # spill under -T PREFIX when given, else beside the output file,
+        # else (stdout output) in a private temp dir -- never CWD litter
+        # (the reference routes these via tmp_file.c with a -T prefix)
+        if p.tmp_prefix:
+            base = p.tmp_prefix
+        elif args[1] != "-":
+            base = args[1]
+        else:
+            base = os.path.join(tempfile.mkdtemp(prefix="samtpu_markdup_"),
+                                "markdup_tmp")
+        tmp_path = base + ".supp.%d.tmp.bam" % os.getpid()
         writer = StreamingWriter(tmp_path, out_header, tmp_fmt,
                                  threads=ga.nthreads, level=1)
     else:
