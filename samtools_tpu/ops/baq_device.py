@@ -18,10 +18,18 @@ rounding-boundary-adjacent posteriors on device and recomputing those
 few reads on the host (`uncertain` mask), GATK-PairHMM-style dynamic
 precision.
 
-Restrictions of the device path (callers route non-conforming reads to
-the host): uniform query length, all-M cigars (no indels/clips, so one
-smoothing segment and a constant expected diagonal), uniform band bw=7,
-window not clamped by a contig edge.
+Generalized (round 5) to messy reads: the kernel takes a per-read ref
+-window length (`lref` int32[B], padded to a static `l_ref_max`), a
+per-base expected-diagonal row (`cdeltaT`, from the cigar walk: the
+htslib state check `(state>>2) == x - xb + (i - y)` in the per-M-op
+loop), per-read boundary probabilities bM/bI (they depend on l_ref),
+and per-base smoothing-segment ids (one segment per M op — extended
+-BAQ smoothing resets at indels exactly as the per-op host loop).
+Soft-clipped and small-indel reads (|l_ref - l_query| <= bw and
+M-extent diff <= bw, so htslib's inner band stays at bw) therefore run
+on device; remaining host routes: N/B cigar ops, >8 cigar ops, big
+indels, contig-edge windows, stored BQ/ZQ tags, qual[0]==0xFF
+sentinels, f32 rounding-risky posteriors.
 """
 
 from __future__ import annotations
@@ -49,7 +57,7 @@ PHRED_MARGIN = 3e-3
 TIE_MARGIN = 3e-4
 
 
-def _decode_row(fM_i, bM_i, fI_i, bI_i, i, diag_off, qrow, B: int,
+def _decode_row(fM_i, bM_i, fI_i, bI_i, i, crow, qrow, B: int,
                 W: int, bw: int):
     """Posterior decode of one query row: best state, phred of 1-p,
     risk flags.  The leak (competitor mass) is summed directly — never
@@ -75,9 +83,15 @@ def _decode_row(fM_i, bM_i, fI_i, bI_i, i, diag_off, qrow, B: int,
     matters = jnp.floor(val) <= qrow.astype(jnp.float32) + 1
     risky = ((jnp.minimum(frac, 1 - frac) < PHRED_MARGIN) & matters) | \
             (mx2 > (1 - TIE_MARGIN) * mx)
+    # rounding flips on non-M bases (soft-clip / insertion positions,
+    # crow at the sentinel) cannot change any output: their quals are
+    # never printed (pileup text prints M-base quals only; insertion
+    # strings print letters) and never censused — don't route the
+    # whole read to the host for them
+    risky = risky & (crow < (1 << 19))
     kbest = best // 2 + i - 1 - bw
     isI = (best % 2).astype(jnp.int32)
-    good = (isI == 0) & (kbest == diag_off + (i - 1)) & (mx > 0)
+    good = (isI == 0) & (kbest == crow + (i - 1)) & (mx > 0)
     return bq, good, risky
 
 
@@ -92,14 +106,21 @@ def _toeplitz(W: int, decay: float, lower: bool, dtype):
 
 @partial(
     __import__("jax").jit,
-    static_argnames=("l_query", "l_ref", "bw"))
-def _probaln_batch(ref_win, query, qual, diag_off, l_query: int,
-                   l_ref: int, bw: int):
-    """Banded glocal HMM for B same-shape reads.
+    static_argnames=("l_query", "l_ref_max", "bw"))
+def _probaln_batch(ref_win, query, qual, cdeltaT, lref, bMv, bIv,
+                   l_query: int, l_ref_max: int, bw: int):
+    """Banded glocal HMM for B reads of uniform query length but
+    per-read ref-window length.
 
-    ref_win: uint8[B, l_ref] 0-4 codes; query: uint8[B, l_query];
-    qual: uint8[B, l_query]; diag_off: int32[B] = pos - xb (expected
-    state k-1 at base i is diag_off + i).
+    ref_win: uint8[B, l_ref_max] 0-4 codes (junk beyond lref[b] is
+    masked to ambiguous inside); query: uint8[B, l_query]; qual:
+    uint8[B, l_query]; cdeltaT: int32[l_query, B] per-base expected
+    diagonal (state k-1 at base i-1 must equal cdeltaT[i-1] + (i-1);
+    large sentinel on non-M bases); lref: int32[B] per-read window
+    length (htslib inner band must stay `bw`: callers guarantee
+    |lref - l_query| <= bw); bMv/bIv: f32[B] boundary probabilities
+    (1-PD)/lref, PD/lref — shipped precomputed in f64->f32 so the
+    clean-read path stays bit-identical to the former scalar kernel.
 
     Returns (bq int32[B, l_query], good bool[B, l_query] state-check,
     risky bool[B]).
@@ -110,6 +131,11 @@ def _probaln_batch(ref_win, query, qual, diag_off, l_query: int,
     f32 = jnp.float32
     B = ref_win.shape[0]
     W = 2 * bw + 1
+
+    # mask ref bases beyond each read's window as ambiguous (code 15)
+    ref_win = jnp.where(
+        jnp.arange(l_ref_max, dtype=jnp.int32)[None, :] < lref[:, None],
+        ref_win, jnp.uint8(15))
 
     # Band-on-sublanes layout: every DP array is [W, B] so the batch
     # axis rides the 128-wide vector lanes; [B, W] would pad the
@@ -123,8 +149,9 @@ def _probaln_batch(ref_win, query, qual, diag_off, l_query: int,
     m4 = PE * (1 - sM)
     m6 = 1 - PE
     m8 = PE
-    bM = (1 - PD) / l_ref
-    bI = PD / l_ref
+    bM = bMv[None, :]                                  # [1, B]
+    bI = bIv[None, :]
+    lrow = lref[None, :]                               # [1, B]
 
     TLt = _toeplitz(W, m8, lower=True, dtype=f32).T   # forward D chain
     TUt = _toeplitz(W, m8, lower=False, dtype=f32).T  # backward D chain
@@ -138,10 +165,10 @@ def _probaln_batch(ref_win, query, qual, diag_off, l_query: int,
     js = jnp.arange(W, dtype=jnp.int32)
 
     def band_mask(i):
-        # valid k = i + j - bw in [max(1, i-bw), min(l_ref, i+bw)]
-        k = i + js - bw
+        # valid k = i + j - bw in [max(1, i-bw), min(lref_b, i+bw)]
+        k = (i + js - bw)[:, None]
         return ((k >= jnp.maximum(1, i - bw))
-                & (k <= jnp.minimum(l_ref, i + bw)))[:, None]
+                & (k <= jnp.minimum(lrow, i + bw)))
 
     def emis(i, qrow, qlrow):
         """e(ref[k-1], query[i-1]) for band j (forward row i): [W, B]."""
@@ -157,10 +184,10 @@ def _probaln_batch(ref_win, query, qual, diag_off, l_query: int,
         i = 1
         e = emis(i, queryT[0], qlnT[0])
         # C row 1: k in [1, min(l_ref, bw+1)] -> j in [bw, min(2bw, ...)]
-        k = i + js - bw
-        mask = ((k >= 1) & (k <= min(l_ref, bw + 1)))[:, None]
+        k = (i + js - bw)[:, None]
+        mask = (k >= 1) & (k <= jnp.minimum(lrow, bw + 1))
         fM = jnp.where(mask, e * bM, 0.0)
-        fI = jnp.where(mask, f32(EI * bI), 0.0)
+        fI = jnp.where(mask, EI * bI * jnp.ones_like(e), 0.0)
         s = (fM + fI).sum(0)
         return fM / s[None, :], fI / s[None, :], jnp.zeros_like(fM), s
 
@@ -204,9 +231,9 @@ def _probaln_batch(ref_win, query, qual, diag_off, l_query: int,
 
     # s[l_query+1]: sum over k with the u-bounds quirk (j in [1, 2bw])
     i = l_query
-    k = i + js - bw
-    mask_end = ((k >= 1) & (k <= l_ref) & (js >= 1)
-                & (js <= 2 * bw))[:, None]
+    k = (i + js - bw)[:, None]
+    mask_end = ((k >= 1) & (k <= lrow)
+                & ((js >= 1) & (js <= 2 * bw))[:, None])
     s_end = ((fMs[-1] * sM + fIs[-1] * sM) * mask_end).sum(0)
 
     # ---------------- backward + decode ----------------
@@ -217,7 +244,7 @@ def _probaln_batch(ref_win, query, qual, diag_off, l_query: int,
     def bwd_step(carry, xs):
         nM, nI, nD = carry      # b rows at i+1, already scaled by 1/s[i+1]
         i, fM_i, fI_i, s_i = xs
-        # emission of row i+1 at ref[k] (0-based), zero where k >= l_ref
+        # emission of row i+1 at ref[k] (0-based), zero where k >= lref_b
         rslice = jax.lax.dynamic_slice(refp, (i + 1, 0), (W, B))
         q1 = queryT[jnp.minimum(i, l_query - 1)]  # query[i] (0-based)
         ql1 = qlnT[jnp.minimum(i, l_query - 1)]
@@ -225,8 +252,8 @@ def _probaln_batch(ref_win, query, qual, diag_off, l_query: int,
         e1 = jnp.where(amb, f32(1.0),
                        jnp.where(rslice == q1[None, :],
                                  1.0 - ql1[None, :], ql1[None, :] * EM))
-        k = i + js - bw
-        e1 = jnp.where((k >= l_ref)[:, None], 0.0, e1)
+        k = (i + js - bw)[:, None]
+        e1 = jnp.where(k >= lrow, 0.0, e1)
         ee = e1 * nM                        # e * b_{i+1}[v11]
         # v10+1: next-row I at j-1, set_u clamped to j=0 at the left edge
         nIs = jnp.concatenate([nI[:1], nI[:-1]], axis=0)
@@ -244,7 +271,8 @@ def _probaln_batch(ref_win, query, qual, diag_off, l_query: int,
 
         # decode row i with stored f and fresh b
         qrow = qual.T[jnp.minimum(i - 1, l_query - 1)]  # qual[i-1]
-        bq, good, risky = _decode_row(fM_i, bMr, fI_i, bIr, i, diag_off,
+        crow = cdeltaT[jnp.minimum(i - 1, l_query - 1)]
+        bq, good, risky = _decode_row(fM_i, bMr, fI_i, bIr, i, crow,
                                       qrow, B, W, bw)
         return (bMr, bIr, bD), (bq, good, risky)
 
@@ -255,7 +283,8 @@ def _probaln_batch(ref_win, query, qual, diag_off, l_query: int,
 
     # decode the last row directly (b at l_query is the init row)
     bq_l, good_l, risky_l = _decode_row(fMs[-1], bM_init, fIs[-1],
-                                        bI_init, l_query, diag_off,
+                                        bI_init, l_query,
+                                        cdeltaT[l_query - 1],
                                         qual[:, l_query - 1], B, W, bw)
 
     # assemble [B, LQ]: rows scanned were l_query-1 .. 1
@@ -267,18 +296,32 @@ def _probaln_batch(ref_win, query, qual, diag_off, l_query: int,
 
 
 @partial(__import__("jax").jit, static_argnames=("l_query",))
-def _finalize(bq, good, qual, l_query: int):
-    """State-check zeroing, qual cap, extended smoothing (single M op),
-    and the applied-qual arithmetic — all vectorized [B, LQ]."""
+def _finalize(bq, good, qual, seg, l_query: int):
+    """State-check zeroing, qual cap, extended smoothing per M segment,
+    and the applied-qual arithmetic — all vectorized [B, LQ].
+
+    ``seg`` int32[B, LQ]: cigar-op ordinal of each base, monotone
+    non-decreasing along the read; negative = non-M base.  Smoothing
+    (min of prefix/suffix running max) must not cross M-op boundaries
+    (baq_one applies it per op); the segmented cummax rides the
+    classic offset trick: adding K*seg (K > any bqv) before the scan
+    makes earlier segments unable to dominate later ones.  Non-M bases
+    take min(q, raw posterior) exactly as the host final loop (their
+    bqv was never state-checked or smoothed)."""
     import jax.numpy as jnp
     import jax
     q = qual.astype(jnp.int32)
-    bqv = jnp.where(good, jnp.minimum(bq, q), 0)
-    left = jax.lax.cummax(bqv, axis=1)
-    rght = jax.lax.cummax(bqv[:, ::-1], axis=1)[:, ::-1]
+    is_m = seg >= 0
+    segc = jnp.maximum(seg, 0)
+    bqv = jnp.where(good & is_m, jnp.minimum(bq, q), 0)
+    K = 256
+    left = jax.lax.cummax(bqv + K * segc, axis=1) - K * segc
+    rseg = K * (64 - segc)
+    rght = jax.lax.cummax((bqv + rseg)[:, ::-1], axis=1)[:, ::-1] - rseg
     bqv = jnp.minimum(left, rght)
-    fbq = jnp.where(q <= bqv, 0, q - bqv)
-    return (q - fbq).astype(jnp.uint8)
+    out_m = q - jnp.where(q <= bqv, 0, q - bqv)   # = min(q, smoothed)
+    out_x = jnp.minimum(q, bq)                    # non-M: raw posterior
+    return jnp.where(is_m, out_m, out_x).astype(jnp.uint8)
 
 
 _FUSED_APPLY = None
@@ -313,10 +356,15 @@ def _get_fused_apply():
         idx = jnp.minimum(pc, ref_dev.shape[0] - 1)[:, None] \
             + jnp.arange(l_ref)[None, :]
         ref_win = ref_dev[jnp.clip(idx, 0, ref_dev.shape[0] - 1)]
-        diag = jnp.zeros(pc.shape[0], jnp.int32)
-        bq, good, risky = _probaln_batch(ref_win, sq, qq, diag,
-                                         l_query, l_ref, bw)
-        appq = _finalize(bq, good, qq, l_query)
+        B = pc.shape[0]
+        cdeltaT = jnp.zeros((l_query, B), jnp.int32)
+        lref = jnp.full((B,), l_ref, jnp.int32)
+        bMv = jnp.full((B,), np.float32((1 - PD) / l_ref), jnp.float32)
+        bIv = jnp.full((B,), np.float32(PD / l_ref), jnp.float32)
+        bq, good, risky = _probaln_batch(ref_win, sq, qq, cdeltaT, lref,
+                                         bMv, bIv, l_query, l_ref, bw)
+        seg = jnp.zeros((B, l_query), jnp.int32)
+        appq = _finalize(bq, good, qq, seg, l_query)
         return appq, risky
 
     _FUSED_APPLY = fused
@@ -358,52 +406,3 @@ def baq_apply_device_nt16(ref_int: np.ndarray, pos: np.ndarray,
     return np.asarray(out), np.asarray(risky)
 
 
-def baq_apply_device(ref_int: np.ndarray, pos: np.ndarray,
-                     seq4: np.ndarray, qual: np.ndarray,
-                     l_query: int, bw: int = 7,
-                     ref_dev=None, chunk: int = 1 << 13):
-    """Device BAQ for a uniform batch of all-M reads of length l_query.
-
-    ref_int: whole-contig 0-4 codes (uint8); pos: int64[B] read starts;
-    seq4: uint8[B, l_query] 0-4 query codes; qual: uint8[B, l_query].
-    Window rule (ops/baq.py): xb = pos, xe = pos + l_query + bw//2.
-
-    Returns (applied_qual uint8[B, l_query], risky bool[B]).  Risky
-    reads should be recomputed on host for bit-parity.
-    """
-    import jax
-    import jax.numpy as jnp
-    l_ref = l_query + bw // 2
-    B = pos.shape[0]
-    if ref_dev is None:
-        ref_dev = jax.device_put(jnp.asarray(ref_int, jnp.uint8))
-    # dispatch every chunk asynchronously, fetch ONCE at the end: the
-    # host<->device link charges heavy per-transfer latency (tunnelled
-    # transports especially), so per-chunk np.asarray sync round trips
-    # dominate wall clock long before bandwidth does
-    outs = []
-    risks = []
-    for lo in range(0, B, chunk):
-        hi = min(lo + chunk, B)
-        n = hi - lo
-        npad = chunk if n < chunk and B > chunk else n
-        posc = np.zeros(npad, np.int64)
-        posc[:n] = pos[lo:hi]
-        idx = jnp.asarray(posc)[:, None] + jnp.arange(l_ref)[None, :]
-        ref_win = ref_dev[jnp.clip(idx, 0, ref_dev.shape[0] - 1)]
-        sq = np.zeros((npad, l_query), np.uint8)
-        sq[:n] = seq4[lo:hi]
-        qq = np.zeros((npad, l_query), np.uint8)
-        qq[:n] = qual[lo:hi]
-        diag = jnp.zeros(npad, jnp.int32)  # pos - xb == 0
-        bq, good, rk = _probaln_batch(ref_win, jnp.asarray(sq),
-                                      jnp.asarray(qq), diag,
-                                      l_query, l_ref, bw)
-        applied = _finalize(bq, good, jnp.asarray(qq), l_query)
-        outs.append(applied[:n] if n < npad else applied)
-        risks.append(rk[:n] if n < npad else rk)
-    allq = jnp.concatenate(outs) if len(outs) > 1 else outs[0]
-    allr = jnp.concatenate(risks) if len(risks) > 1 else risks[0]
-    import jax
-    out, risky = jax.device_get((allq, allr))
-    return np.asarray(out), np.asarray(risky)

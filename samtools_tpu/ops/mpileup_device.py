@@ -5,18 +5,32 @@ BAQ (sam_prob_realn at /root/reference/bam_plcmd.c:451) followed by the
 per-column accumulation loop (:607).  This module runs that pipeline
 TPU-first over a streaming BAM:
 
-  BamStream window -> columnar decode (C++) -> ship (pos, seq codes,
-  quals) -> device banded pair-HMM BAQ (ops/baq_device) -> device
-  census: one-hot(base) x qual-gate segment matmul accumulated into a
-  resident [window, 6] table -> ONE device->host fetch at the end.
+  BamStream window -> columnar decode (C++) -> ship (pos, cigar, seq
+  codes, quals) -> device banded pair-HMM BAQ (ops/baq_device) ->
+  device census: one-hot(base) x qual-gate segment matmul accumulated
+  into a resident [window, 6] table -> ONE device->host fetch.
 
-BAQ-adjusted quals never leave the device (the d2h link is the scarcest
-resource); only the per-read `risky` bits and the final census do.
-Reads the device path cannot take bit-exactly (non-uniform shape,
-contig-edge windows, f32 rounding-boundary posteriors) are recomputed
-on the host through the native f64 HMM (samtpu_baq_batch), keeping the
-total byte-identical to the single-core reference pipeline
-(native samtpu_bench_baq_census).
+Round 5: the device path ingests MESSY reads too — soft clips and
+small indels ride the generalized HMM kernel (per-read ref-window
+length + per-base expected diagonal + per-M-op smoothing segments,
+see ops/baq_device.py), and the census kernel receives their M bases
+through per-base cigar expansion computed ON DEVICE from the shipped
+packed cigar (<=8 ops).  The reference CIGAR-walk semantics being
+reproduced are consensus_pileup.c:81-240 / bam_plcmd.c's per-op
+census.  Host fallback shrinks to: N/B ops, >8 ops, |indel| past the
+band, contig-edge windows, stored BQ/ZQ tags, 0xFF qual sentinels and
+f32 rounding-risky posteriors.
+
+Two consumers:
+
+* ``add_batch`` — the bench/census core: BAQ-adjusted quals never
+  leave the device (the d2h link is the scarcest resource); only the
+  per-read `risky` bits and the final census do.
+* ``apply_window`` — the mpileup TOOL engine (tools/mpileup_cmd.py):
+  BAQ'd quals are fetched (the text must print them) while the census
+  rides along device-resident for free in the same fused launch; the
+  tool consumes the per-window census via ``finish_checksum``
+  (--census-out, the bench's tool-path parity gate).
 """
 
 from __future__ import annotations
@@ -33,81 +47,114 @@ DEFAULT_EXCL = F.FUNMAP | F.FSECONDARY | F.FQCFAIL | F.FDUP
 NT16_TO4 = np.array([4, 0, 1, 4, 2, 4, 4, 4, 3, 4, 4, 4, 4, 4, 4, 4],
                     np.uint8)
 
-
-def _census_jit():
-    import jax
-    import jax.numpy as jnp
-    from functools import partial
-    from .pileup_engine import _get_segmm
-
-    @partial(jax.jit, static_argnames=("l_query", "n_tiles_pad", "B",
-                                       "tile", "chunk", "passes"))
-    def census_add(census, pos, seq4, appq, ok_read, lo, hi, wbeg,
-                   l_query: int, n_tiles_pad: int, B: int, tile: int,
-                   chunk: int, min_baseq: int, passes: int):
-        """census[p, 0:5] += base counts, census[p, 5] += capped quals,
-        for the in-plan events of non-risky reads.  ``passes`` covers
-        tiles whose item slice exceeds the B bucket (deep columns)."""
-        refpos = (pos[:, None] + jnp.arange(l_query,
-                                            dtype=jnp.int32)[None, :])
-        refpos = refpos.reshape(-1)
-        gate = (appq >= min_baseq) & ok_read[:, None]
-        g = gate.reshape(-1)
-        code = seq4.reshape(-1)
-        onehot = jax.nn.one_hot(code, 5, dtype=jnp.int8)
-        W = jnp.concatenate(
-            [onehot, appq.reshape(-1, 1).astype(jnp.int8)], axis=1)
-        W = jnp.where(g[:, None], W, 0)
-        segmm = _get_segmm()
-        total = None
-        cur_lo = lo
-        for _ in range(passes):
-            out = segmm(refpos.astype(jnp.int32), W, cur_lo, hi,
-                        wbeg.astype(jnp.int32), B=B, chunk=chunk,
-                        n_tiles_pad=n_tiles_pad, out_int=True, tile=tile)
-            total = out if total is None else total + out
-            cur_lo = jnp.minimum(cur_lo + B, hi)
-        return jax.lax.dynamic_update_slice(
-            census, jax.lax.dynamic_slice(
-                census, (wbeg, 0),
-                (n_tiles_pad * tile, CENSUS_K)) + total, (wbeg, 0))
-
-    return census_add
+MAXOPS = 8         # cigar ops shipped per read (beyond -> host)
+LREF_PAD = 8       # l_ref_max = l_query + LREF_PAD (|lref-LQ| <= bw=7)
+HDR = 48           # per-read buf header bytes (pos|lead|lref|bM|bI|cig8)
+_BIGC = 1 << 20    # expected-diagonal sentinel for non-M rows
 
 
-_CENSUS_ADD = None
+def classify_reads(b, sel: np.ndarray, l_query: int, ref_len: int,
+                   bw: int = 7):
+    """Vectorized device-eligibility + per-read HMM window parameters.
 
-
-def _get_census_add():
-    global _CENSUS_ADD
-    if _CENSUS_ADD is None:
-        _CENSUS_ADD = _census_jit()
-    return _CENSUS_ADD
+    Implements baq_one's alignment-extent walk (native/samtpu.cc:712)
+    over a padded [n, MAXOPS] cigar matrix.  Returns (elig bool[n],
+    lead int64[n], lref int64[n], cig8 uint32[n, MAXOPS]); lead/lref
+    are valid only where elig.
+    """
+    n = sel.size
+    if n == 0:
+        z = np.zeros(0, np.int64)
+        return (np.zeros(0, bool), z, z,
+                np.zeros((0, MAXOPS), np.uint32))
+    nc = b.cigar_off[sel + 1] - b.cigar_off[sel]
+    lq = b.seq_off[sel + 1] - b.seq_off[sel]
+    pos = b.pos[sel].astype(np.int64)
+    elig = (nc >= 1) & (nc <= MAXOPS) & (lq == l_query) & (pos >= 0) \
+        & (pos + l_query + 16 < (1 << 31))
+    valid = np.arange(MAXOPS)[None, :] < nc[:, None]
+    idx = b.cigar_off[sel][:, None] + np.arange(MAXOPS)[None, :]
+    idx = np.where(valid, idx, 0)
+    cig8 = np.where(valid, b.cigar[np.minimum(idx, b.cigar.size - 1)],
+                    np.uint32(0))
+    ops = (cig8 & 0xF).astype(np.int64)
+    ln = (cig8 >> 4).astype(np.int64)
+    ln = np.where(valid, ln, 0)
+    # allowed op set: M I D S H P =/X (N=3 and B=9 route to host)
+    allowed = (ops != 3) & (ops <= 8)
+    elig &= np.where(valid, allowed, True).all(1)
+    is_m = ((ops == 0) | (ops == 7) | (ops == 8)) & valid & (ln > 0)
+    consq = is_m | (((ops == 1) | (ops == 4)) & valid)
+    consr = is_m | ((ops == 2) & valid)
+    qlen = ln * consq
+    rlen = ln * consr
+    qstart = np.cumsum(qlen, 1) - qlen
+    rstart = np.cumsum(rlen, 1) - rlen
+    has_m = is_m.any(1)
+    elig &= has_m
+    fm = np.argmax(is_m, 1)
+    lm = MAXOPS - 1 - np.argmax(is_m[:, ::-1], 1)
+    r_ = np.arange(n)
+    yb = qstart[r_, fm]
+    xbM = pos + rstart[r_, fm]
+    ye = qstart[r_, lm] + ln[r_, lm]
+    xeM = pos + rstart[r_, lm] + ln[r_, lm]
+    # htslib outer band: bw widens when the M-extent spans differ by
+    # more than bw; the inner band also widens when |l_ref - l_query|
+    # exceeds it — both must stay at `bw` for the uniform-W kernel
+    diff = np.abs((xeM - xbM) - (ye - yb))
+    elig &= diff <= bw
+    lead = np.minimum(yb, xbM)
+    xb = xbM - lead
+    xe = xeM + (l_query - ye) + bw // 2
+    lref = xe - xb
+    elig &= (xe <= ref_len) & (xb >= 0) & (np.abs(lref - l_query) <= bw)
+    # qual[0]==0xFF sentinel -> host
+    if b.seq_off[-1]:
+        elig &= b.qual[np.minimum(b.seq_off[sel],
+                                  b.seq_off[-1] - 1)] != 0xFF
+    return elig, lead, lref, cig8
 
 
 def _chunk_jit():
-    """One fused launch per chunk: ref-window gather + BAQ HMM +
-    finalize + census accumulate.  The host<->device tunnel charges
-    per dispatch, so the whole chunk must be a single executable."""
+    """One fused launch per chunk: buf parse + device cigar expansion +
+    ref-window gather + generalized BAQ HMM + finalize + census
+    accumulate.  The host<->device tunnel charges per dispatch, so the
+    whole chunk must be a single executable."""
     import jax
     import jax.numpy as jnp
     from functools import partial
     from . import baq_device
+    from .pileup_engine import _get_segmm
 
     @partial(jax.jit, static_argnames=(
-        "l_query", "l_ref", "bw", "n_tiles_pad", "B", "tile", "chunk",
-        "passes", "min_baseq", "baq_flag"))
-    def chunk_step(census, ref_dev, buf, n_live, lo, hi, wbeg,
-                   l_query: int, l_ref: int, bw: int, n_tiles_pad: int,
-                   B: int, tile: int, chunk: int, passes: int,
-                   min_baseq: int, baq_flag: int):
-        # buf: uint8[C, 4 + 2*l_query] = LE int32 pos | seq nt16 | qual
-        # (one h2d transfer per chunk instead of three; the nt16->0-4
-        # code mapping runs on device)
-        pb = buf[:, :4].astype(jnp.int32)
-        pc = pb[:, 0] | (pb[:, 1] << 8) | (pb[:, 2] << 16) \
-            | (pb[:, 3] << 24)
-        nt16 = buf[:, 4:4 + l_query]
+        "l_query", "l_ref_max", "bw", "n_tiles_pad", "B", "tile",
+        "chunk", "passes", "min_baseq", "baq_flag", "collect_quals"))
+    def chunk_step(census, ref_dev, buf, n_live, lo, hi, wbeg, base,
+                   gate_lo, gate_hi,
+                   l_query: int, l_ref_max: int, bw: int,
+                   n_tiles_pad: int, B: int, tile: int, chunk: int,
+                   passes: int, min_baseq: int, baq_flag: int,
+                   collect_quals: bool):
+        # buf: uint8[C, HDR + 2*l_query] =
+        #   LE i32 pos | LE u16 lead | LE u16 lref | f32 bM | f32 bI |
+        #   LE u32 cig8[8] | seq nt16 | qual
+        C = buf.shape[0]
+
+        def le32(a):
+            a = a.astype(jnp.int32)
+            return (a[..., 0] | (a[..., 1] << 8) | (a[..., 2] << 16)
+                    | (a[..., 3] << 24))
+
+        pc = le32(buf[:, 0:4])
+        lead = buf[:, 4].astype(jnp.int32) \
+            | (buf[:, 5].astype(jnp.int32) << 8)
+        lref = buf[:, 6].astype(jnp.int32) \
+            | (buf[:, 7].astype(jnp.int32) << 8)
+        bMv = jax.lax.bitcast_convert_type(buf[:, 8:12], jnp.float32)
+        bIv = jax.lax.bitcast_convert_type(buf[:, 12:16], jnp.float32)
+        cig = le32(buf[:, 16:HDR].reshape(C, MAXOPS, 4))
+        nt16 = buf[:, HDR:HDR + l_query]
         # nt16 -> 0-4 codes arithmetically (a table gather lowers to
         # slow scalar loads on TPU)
         sq = jnp.where(nt16 == 1, 0,
@@ -115,23 +162,72 @@ def _chunk_jit():
                                  jnp.where(nt16 == 4, 2,
                                            jnp.where(nt16 == 8, 3, 4)))
                        ).astype(jnp.uint8)
-        qq = buf[:, 4 + l_query:4 + 2 * l_query]
-        idx = jnp.minimum(pc, ref_dev.shape[0] - 1)[:, None] \
-            + jnp.arange(l_ref)[None, :]
+        qq = buf[:, HDR + l_query:HDR + 2 * l_query]
+
+        # ---- device cigar expansion (consensus_pileup.c:81 walk)
+        ops = cig & 0xF
+        ln = jax.lax.shift_right_logical(cig, 4)
+        is_m_op = (ops == 0) | (ops == 7) | (ops == 8)
+        consq = is_m_op | (ops == 1) | (ops == 4)
+        consr = is_m_op | (ops == 2)
+        qlen = ln * consq
+        rlen = ln * consr
+        qstart = jnp.cumsum(qlen, axis=1) - qlen
+        rstart = jnp.cumsum(rlen, axis=1) - rlen
+        qi = jnp.arange(l_query, dtype=jnp.int32)
+        inm = ((is_m_op)[:, :, None]
+               & (qi[None, None, :] >= qstart[:, :, None])
+               & (qi[None, None, :] < (qstart + qlen)[:, :, None]))
+        is_m_base = inm.any(1)                              # [C, LQ]
+        cd_op = rstart - qstart + lead[:, None]
+        cdelta = (inm * cd_op[:, :, None]).sum(1)           # [C, LQ]
+        segid = (inm * jnp.arange(MAXOPS, dtype=jnp.int32)
+                 [None, :, None]).sum(1)
+        seg = jnp.where(is_m_base, segid, -1)
+
+        # ---- ref window + HMM
+        xb = pc - lead
+        idx = xb[:, None] + jnp.arange(l_ref_max,
+                                       dtype=jnp.int32)[None, :]
         ref_win = ref_dev[jnp.clip(idx, 0, ref_dev.shape[0] - 1)]
-        diag = jnp.zeros(pc.shape[0], jnp.int32)
+        cdT = jnp.where(is_m_base, cdelta, _BIGC).T         # [LQ, C]
         bq, good, risky = baq_device._probaln_batch(
-            ref_win, sq, qq, diag, l_query, l_ref, bw)
-        appq = baq_device._finalize(bq, good, qq, l_query)
+            ref_win, sq, qq, cdT, lref, bMv, bIv, l_query, l_ref_max,
+            bw)
+        appq = baq_device._finalize(bq, good, qq, seg, l_query)
         if not baq_flag:
             appq = qq
-            risky = jnp.zeros(pc.shape[0], bool)
-        pad_ok = jnp.arange(pc.shape[0]) < n_live
+            risky = jnp.zeros(C, bool)
+        pad_ok = jnp.arange(C) < n_live
         ok = (~risky) & pad_ok
-        census = _get_census_add()(
-            census, pc.astype(jnp.int32), sq, appq, ok, lo, hi,
-            wbeg, l_query, n_tiles_pad, B, tile, chunk, min_baseq,
-            passes)
+
+        # ---- census (window-relative, ownership-gated)
+        refpos = pc[:, None] - lead[:, None] + qi[None, :] + cdelta
+        refpos_rel = jnp.where(is_m_base, refpos - base, gate_hi)
+        gate = (is_m_base & (appq >= min_baseq) & ok[:, None]
+                & (refpos_rel >= gate_lo) & (refpos_rel < gate_hi))
+        g = gate.reshape(-1)
+        code = sq.reshape(-1)
+        onehot = jax.nn.one_hot(code, 5, dtype=jnp.int8)
+        W = jnp.concatenate(
+            [onehot, appq.reshape(-1, 1).astype(jnp.int8)], axis=1)
+        W = jnp.where(g[:, None], W, 0)
+        segmm = _get_segmm()
+        rp = refpos_rel.reshape(-1).astype(jnp.int32)
+        total = None
+        cur_lo = lo
+        for _ in range(passes):
+            out = segmm(rp, W, cur_lo, hi, wbeg.astype(jnp.int32), B=B,
+                        chunk=chunk, n_tiles_pad=n_tiles_pad,
+                        out_int=True, tile=tile)
+            total = out if total is None else total + out
+            cur_lo = jnp.minimum(cur_lo + B, hi)
+        census = jax.lax.dynamic_update_slice(
+            census, jax.lax.dynamic_slice(
+                census, (wbeg, 0),
+                (n_tiles_pad * tile, CENSUS_K)) + total, (wbeg, 0))
+        if collect_quals:
+            return census, risky, appq
         return census, risky
 
     return chunk_step
@@ -147,33 +243,22 @@ def _get_chunk_step():
     return _CHUNK_STEP
 
 
-def _host_census(census, qsum, pos, cigar, cigar_off, seq4, qual, seq_off,
-                 ref_int, min_baseq, baq_flag):
-    """Host path: native f64 BAQ + vectorized census accumulate for the
-    reads the device path routes away.  Arbitrary cigars supported."""
-    from ..io import native
+def _expand_m_events(pos, cigar, cigar_off, seq_off):
+    """Vectorized M/=/X-base expansion over ragged cigars.
+
+    Returns (rp absolute refpos int64[nev], qoff flat seq index
+    int64[nev]) of every M/=/X base (bam_plcmd.c census semantics)."""
     from ..core.batch import ragged_gather_indices
-    if pos.size == 0:
-        return
-    if baq_flag:
-        newq, _ = native.baq_batch(pos, cigar, cigar_off, seq4_to_nt16(
-            seq4), qual, seq_off, ref_int, flag=baq_flag, threads=2)
-    else:
-        newq = qual
-    # expand M/=/X ops to (refpos, qpos) pairs
     ops = (cigar & 0xF).astype(np.int64)
     lens = (cigar >> 4).astype(np.int64)
-    n = pos.size
     rid_op = np.repeat(np.arange(cigar_off.size - 1),
                        np.diff(cigar_off))
-    # per-op running ref/query positions
     consumes_r = np.array(F.CIGAR_CONSUMES_REF, np.int64)[ops]
     consumes_q = np.array(F.CIGAR_CONSUMES_QUERY, np.int64)[ops]
     rl = lens * consumes_r
     ql = lens * consumes_q
     cr = np.concatenate([[0], np.cumsum(rl)[:-1]])
     cq = np.concatenate([[0], np.cumsum(ql)[:-1]])
-    # rebase per read
     base_r = cr[cigar_off[:-1]]
     base_q = cq[cigar_off[:-1]]
     op_rpos = pos[rid_op] + (cr - base_r[rid_op])
@@ -184,13 +269,38 @@ def _host_census(census, qsum, pos, cigar, cigar_off, seq4, qual, seq_off,
     qp = ragged_gather_indices(op_qpos[m], mlens)
     rid = np.repeat(rid_op[m], mlens)
     qoff = seq_off[rid] + qp
+    return rp, qoff
+
+
+def _host_census(census, qsum, pos, cigar, cigar_off, seq4, qual, seq_off,
+                 ref_int, min_baseq, baq_flag, base=0, gate_lo=None,
+                 gate_hi=None, newq=None, threads=2):
+    """Host path: native f64 BAQ + vectorized census accumulate for the
+    reads the device path routes away.  Arbitrary cigars supported.
+    ``census``/``qsum`` are indexed relative to ``base``; events
+    outside [gate_lo, gate_hi) (relative) are window-owned elsewhere.
+    Pass ``newq`` to reuse already-BAQ'd quals."""
+    from ..io import native
+    if pos.size == 0:
+        return
+    if newq is None:
+        if baq_flag:
+            newq, _ = native.baq_batch(
+                pos, cigar, cigar_off, seq4_to_nt16(seq4), qual, seq_off,
+                ref_int, flag=baq_flag, threads=threads)
+        else:
+            newq = qual
+    rp, qoff = _expand_m_events(pos, cigar, cigar_off, seq_off)
+    rp = rp - base
+    lo = 0 if gate_lo is None else gate_lo
+    hi = qsum.size if gate_hi is None else gate_hi
     q = newq[qoff]
-    ok = (q >= min_baseq) & (rp >= 0) & (rp < qsum.size)
+    ok = (q >= min_baseq) & (rp >= lo) & (rp < hi) & (rp < qsum.size) \
+        & (rp >= 0)
     rp, qoff, q = rp[ok], qoff[ok], q[ok]
     code = seq4[qoff].astype(np.int64)
     np.add.at(census, (rp, code), 1)
     np.add.at(qsum, rp, q.astype(np.int64))
-    del n
 
 
 def census_checksum(census: np.ndarray, qsum: np.ndarray):
@@ -217,16 +327,19 @@ def seq4_to_nt16(seq4: np.ndarray) -> np.ndarray:
 
 
 class DeviceCensusPipeline:
-    """Accumulates the BAQ'd base census for one contig window on the
-    device across streamed batches."""
+    """Accumulates the BAQ'd base census for one window on the device
+    across streamed batches (``base`` offsets the window against the
+    contig; census indices are window-relative)."""
 
     def __init__(self, ref_int: np.ndarray, wlen: int, min_baseq: int = 13,
                  baq_flag: int = 3, tile: int = 256, bw: int = 7,
-                 l_query: int = 100, chunk_reads: int = 1 << 16):
+                 l_query: int = 100, chunk_reads: int = 1 << 16,
+                 base: int = 0, ref_dev=None):
         import jax
         import jax.numpy as jnp
         self.ref_int = np.ascontiguousarray(ref_int, np.uint8)
         self.wlen = wlen
+        self.base = base
         self.min_baseq = min_baseq
         self.baq_flag = baq_flag
         self.tile = tile
@@ -237,7 +350,11 @@ class DeviceCensusPipeline:
         self.total_tiles = max(padded_tiles(self.n_tiles), 512)
         pad_len = self.total_tiles * tile
         self.census_dev = jnp.zeros((pad_len, CENSUS_K), jnp.int32)
-        self.ref_dev = jax.device_put(jnp.asarray(self.ref_int, jnp.uint8))
+        if ref_dev is not None:
+            self.ref_dev = ref_dev
+        else:
+            self.ref_dev = jax.device_put(
+                jnp.asarray(self.ref_int, jnp.uint8))
         self.host_census = np.zeros((wlen, 5), np.int64)
         self.host_qsum = np.zeros(wlen, np.int64)
         self.n_reads = 0
@@ -246,44 +363,10 @@ class DeviceCensusPipeline:
         self._pending = None  # deferred risky masks of the last batch
 
     # ------------------------------------------------------------------
-    def add_batch(self, batch, excl_flags: int = DEFAULT_EXCL,
-                  min_mapq: int = 0, want_tid: int = 0):
-        import jax
-        import jax.numpy as jnp
-        from . import baq_device
-
-        b = batch
-        keep = ((b.tid == want_tid)
-                & ((b.flag.astype(np.int64) & excl_flags) == 0)
-                & (b.mapq >= min_mapq))
-        sel = np.nonzero(keep)[0]
-        if sel.size == 0:
-            return
-        self.n_reads += sel.size
+    def _gather_rows(self, b, dsel):
+        """[n, l_query] seq/qual matrices for the selected reads;
+        contiguous selections reshape the flat arrays zero-copy."""
         LQ = self.l_query
-        lens = b.seq_off[sel + 1] - b.seq_off[sel]
-        simple = ((b.cigar_off[sel + 1] - b.cigar_off[sel]) == 1)
-        opv = np.zeros(sel.size, np.uint32)
-        opv[simple] = b.cigar[b.cigar_off[sel[simple]]]
-        uniform = (simple & (opv == np.uint32((LQ << 4)))
-                   & (lens == LQ)
-                   & (b.pos[sel] >= 0)
-                   & (b.pos[sel] + LQ + self.bw // 2 <= self.ref_int.size))
-        # qual[0]==0xFF sentinel -> host
-        q0 = b.qual[b.seq_off[sel]]
-        uniform &= q0 != 0xFF
-
-        dsel = sel[uniform]
-        hsel = sel[~uniform]
-        if hsel.size:
-            self._host_reads(b, hsel)
-        if dsel.size == 0:
-            return
-
-        pos = b.pos[dsel].astype(np.int64)
-        # contiguous uniform selections (the common case) reshape the
-        # flat seq/qual arrays zero-copy; nt16->code mapping happens on
-        # device inside the fused chunk kernel
         off0 = b.seq_off[dsel]
         if dsel.size and int(off0[-1]) - int(off0[0]) \
                 == (dsel.size - 1) * LQ \
@@ -295,23 +378,79 @@ class DeviceCensusPipeline:
             idx2 = off0[:, None] + np.arange(LQ)[None, :]
             seqm = b.seq[idx2]
             qual = b.qual[idx2]
+        return seqm, qual
+
+    def _make_buf(self, pos, lead, lref, cig8, seqm, qual, lo, hi,
+                  npad):
+        """Pack one chunk's h2d buffer (header + seq + qual rows)."""
+        LQ = self.l_query
+        n = hi - lo
+        buf = np.zeros((npad, HDR + 2 * LQ), np.uint8)
+        pc = np.zeros(npad, np.int64)
+        pc[:n] = pos[lo:hi]
+        # park padding out of every tile / census gate
+        pc[n:] = self.base + self.wlen
+        buf[:, 0:4] = (pc - 0).astype("<i4").view(np.uint8) \
+            .reshape(npad, 4)
+        ld = np.zeros(npad, np.uint16)
+        ld[:n] = lead[lo:hi]
+        buf[:, 4:6] = ld.astype("<u2").view(np.uint8).reshape(npad, 2)
+        lr = np.full(npad, self.l_query + self.bw // 2, np.uint16)
+        lr[:n] = lref[lo:hi]
+        buf[:, 6:8] = lr.astype("<u2").view(np.uint8).reshape(npad, 2)
+        lr64 = lr.astype(np.float64)
+        buf[:, 8:12] = ((1.0 - 0.001) / lr64).astype("<f4") \
+            .view(np.uint8).reshape(npad, 4)
+        buf[:, 12:16] = (0.001 / lr64).astype("<f4") \
+            .view(np.uint8).reshape(npad, 4)
+        c8 = np.zeros((npad, MAXOPS), np.uint32)
+        c8[:n] = cig8[lo:hi]
+        c8[n:, 0] = np.uint32(self.l_query << 4)  # padding: clean M
+        buf[:, 16:HDR] = c8.astype("<u4").view(np.uint8) \
+            .reshape(npad, MAXOPS * 4)
+        buf[:n, HDR:HDR + LQ] = seqm[lo:hi]
+        buf[:n, HDR + LQ:] = qual[lo:hi]
+        return buf, pc
+
+    # ------------------------------------------------------------------
+    def add_batch(self, batch, excl_flags: int = DEFAULT_EXCL,
+                  min_mapq: int = 0, want_tid: int = 0):
+        """Census-only ingestion (bench core): quals stay on device."""
+        import jax
+        import jax.numpy as jnp
+
+        b = batch
+        keep = ((b.tid == want_tid)
+                & ((b.flag.astype(np.int64) & excl_flags) == 0)
+                & (b.mapq >= min_mapq))
+        sel = np.nonzero(keep)[0]
+        if sel.size == 0:
+            return
+        self.n_reads += sel.size
+        elig, lead_s, lref_s, cig8_s = classify_reads(
+            b, sel, self.l_query, self.ref_int.size, self.bw)
+        dsel = sel[elig]
+        hsel = sel[~elig]
+        if hsel.size:
+            self._host_reads(b, hsel)
+        if dsel.size == 0:
+            return
+        pos = b.pos[dsel].astype(np.int64)
+        lead = lead_s[elig]
+        lref = lref_s[elig]
+        cig8 = cig8_s[elig]
+        seqm, qual = self._gather_rows(b, dsel)
 
         chunk_step = _get_chunk_step()
-        l_ref = LQ + self.bw // 2
         C = self.chunk
         risky_parts = []  # (device risky mask, chunk lo, n)
         for lo in range(0, dsel.size, C):
             hi = min(lo + C, dsel.size)
             n = hi - lo
             npad = C
-            pc = np.zeros(npad, np.int64)
-            pc[:n] = pos[lo:hi]
-            pc[n:] = self.wlen  # park padding out of every tile
-            buf = np.zeros((npad, 4 + 2 * LQ), np.uint8)
-            buf[:, :4] = pc.astype("<i4").view(np.uint8).reshape(npad, 4)
-            buf[:n, 4:4 + LQ] = seqm[lo:hi]
-            buf[:n, 4 + LQ:] = qual[lo:hi]
-            plan = self._plan(pc[:n], n, npad)
+            buf, pc = self._make_buf(pos, lead, lref, cig8, seqm, qual,
+                                     lo, hi, npad)
+            plan = self._plan(pc[:n] - self.base, n, npad)
             # one fused device launch + one h2d transfer per chunk; the
             # risky mask stays device-resident (fetching per chunk
             # costs a tunnel round trip), host recompute happens once
@@ -319,8 +458,11 @@ class DeviceCensusPipeline:
             self.census_dev, risky = chunk_step(
                 self.census_dev, self.ref_dev, jax.device_put(buf),
                 np.int32(n), plan[0], plan[1], jnp.int32(plan[2]),
-                LQ, l_ref, self.bw, plan[3], plan[4], self.tile, 16,
-                plan[5], self.min_baseq, 1 if self.baq_flag else 0)
+                jnp.int32(self.base), jnp.int32(0),
+                jnp.int32(self.wlen),
+                self.l_query, self.l_query + LREF_PAD, self.bw,
+                plan[3], plan[4], self.tile, 16, plan[5],
+                self.min_baseq, 1 if self.baq_flag else 0, False)
             risky_parts.append((risky, lo, n))
         # drain the PREVIOUS batch's risky masks now: the fetch blocks
         # until that batch's device work finishes, which overlaps with
@@ -329,6 +471,128 @@ class DeviceCensusPipeline:
         self._pending = (risky_parts, b, dsel, C) if risky_parts else None
         if prev is not None:
             self._drain(prev)
+
+    # ------------------------------------------------------------------
+    def begin_window(self, sub, gate_lo: int, gate_hi: int):
+        """Tool engine, dispatch half: classify and launch the fused
+        BAQ+census chunks for one prepared window (async — the device
+        crunches while the host prepares/format the neighboring
+        window).  Census accumulates for the owned columns
+        [gate_lo, gate_hi) (absolute).  Returns an opaque handle for
+        ``finish_window``."""
+        import jax
+        import jax.numpy as jnp
+        n = sub.n
+        if n == 0:
+            z = np.zeros(0, np.int64)
+            return (sub, z, [], gate_lo, gate_hi, z)
+        self.n_reads += n
+        sel = np.arange(n, dtype=np.int64)
+        elig, lead, lref, cig8 = classify_reads(
+            sub, sel, self.l_query, self.ref_int.size, self.bw)
+        if elig.any():
+            raw = sub.aux.tobytes()
+            if b"BQZ" in raw or b"ZQZ" in raw:
+                # possible stored BQ/ZQ tag: tag conversions need the
+                # Python path (conservative substring test)
+                elig[:] = False
+        dsel = np.nonzero(elig)[0]
+        hsel = np.nonzero(~elig)[0]
+        handles = []
+        if dsel.size:
+            pos = sub.pos[dsel].astype(np.int64)
+            seqm, qual = self._gather_rows(sub, dsel)
+            chunk_step = _get_chunk_step()
+            C = self.chunk
+            for lo in range(0, dsel.size, C):
+                hi = min(lo + C, dsel.size)
+                cn = hi - lo
+                npad = C if dsel.size > C else cn
+                buf, pc = self._make_buf(pos, lead[dsel], lref[dsel],
+                                         cig8[dsel], seqm, qual, lo,
+                                         hi, npad)
+                plan = self._plan(pc[:cn] - self.base, cn, npad)
+                self.census_dev, risky, appq = chunk_step(
+                    self.census_dev, self.ref_dev, jax.device_put(buf),
+                    np.int32(cn), plan[0], plan[1], jnp.int32(plan[2]),
+                    jnp.int32(self.base), jnp.int32(gate_lo - self.base),
+                    jnp.int32(gate_hi - self.base),
+                    self.l_query, self.l_query + LREF_PAD, self.bw,
+                    plan[3], plan[4], self.tile, 16, plan[5],
+                    self.min_baseq, 1 if self.baq_flag else 0, True)
+                handles.append((risky, appq, lo, cn))
+        return (sub, dsel, handles, gate_lo, gate_hi, hsel)
+
+    def finish_window(self, handle, threads: int = 2) -> int:
+        """Tool engine, fetch half: block on the window's device work,
+        write BAQ'd quals into sub.qual, recompute risky + ineligible
+        reads through the native host HMM (window-gated host census
+        rides along).  Returns the number of host-path reads."""
+        import jax
+        sub, dsel, handles, gate_lo, gate_hi, hsel = handle
+        host_rows = [hsel]
+        if handles:
+            fetched = jax.device_get([(r, a) for r, a, _, _ in handles])
+            for (rk, aq), (_, _, lo, cn) in zip(fetched, handles):
+                rk = np.asarray(rk)[:cn]
+                aq = np.asarray(aq)[:cn]
+                rows = dsel[lo:lo + cn]
+                okm = ~rk
+                if okm.any():
+                    rr = rows[okm]
+                    idx2 = sub.seq_off[rr][:, None] \
+                        + np.arange(self.l_query)[None, :]
+                    sub.qual[idx2.ravel()] = aq[okm].ravel()
+                if rk.any():
+                    self.n_risky += int(rk.sum())
+                    host_rows.append(rows[rk])
+        hr = np.concatenate(host_rows) if len(host_rows) > 1 \
+            else host_rows[0]
+        if hr.size:
+            hr.sort()
+            self._host_apply(sub, hr, gate_lo, gate_hi, threads)
+        self.n_host_reads += hr.size
+        return int(hr.size)
+
+    def apply_window(self, sub, gate_lo: int, gate_hi: int,
+                     threads: int = 2) -> int:
+        """BAQ every read of a prepared window IN PLACE (device fused
+        BAQ+census for eligible reads, native host HMM for the rest)
+        and accumulate the census of the owned columns
+        [gate_lo, gate_hi).  The census reflects post-filter,
+        pre-overlap-tweak quals (the sam_prob_realn stage)."""
+        return self.finish_window(
+            self.begin_window(sub, gate_lo, gate_hi), threads)
+
+    def _host_apply(self, sub, rows, gate_lo, gate_hi, threads):
+        """Native BAQ in place + window-gated host census for the
+        host-routed reads of one window."""
+        from ..io import native
+        from ..core.batch import ragged_gather_indices
+        clens = sub.cigar_off[rows + 1] - sub.cigar_off[rows]
+        coff = np.zeros(rows.size + 1, np.int64)
+        np.cumsum(clens, out=coff[1:])
+        cig = sub.cigar[ragged_gather_indices(sub.cigar_off[rows],
+                                              clens)]
+        slens = sub.seq_off[rows + 1] - sub.seq_off[rows]
+        soff = np.zeros(rows.size + 1, np.int64)
+        np.cumsum(slens, out=soff[1:])
+        gidx = ragged_gather_indices(sub.seq_off[rows], slens)
+        seq_nt16 = sub.seq[gidx]
+        qual = sub.qual[gidx]
+        spos = sub.pos[rows].astype(np.int64)
+        if self.baq_flag and native.available():
+            newq, _ = native.baq_batch(
+                spos, cig, coff, seq_nt16, qual, soff, self.ref_int,
+                flag=3, threads=threads)
+            sub.qual[gidx] = newq
+        else:
+            newq = qual
+        _host_census(self.host_census, self.host_qsum, spos, cig, coff,
+                     NT16_TO4[seq_nt16], newq, soff, self.ref_int,
+                     self.min_baseq, 0, base=self.base,
+                     gate_lo=gate_lo - self.base,
+                     gate_hi=gate_hi - self.base, newq=newq)
 
     def _drain(self, pending):
         import jax.numpy as jnp
@@ -347,26 +611,29 @@ class DeviceCensusPipeline:
             self._host_reads(b, gsel)
 
     def _plan(self, pos_n: np.ndarray, n: int, npad: int):
-        """Tile slices for one chunk: items are read-major, 100/read."""
+        """Tile slices for one chunk: items are read-major, LQ/read.
+        ``pos_n`` is window-relative (may be negative for halo reads:
+        their out-of-window events self-exclude in the kernel)."""
         tile = self.tile
+        span = self.l_query + LREF_PAD
         if n == 0:
             t0 = 0
             span_tiles = 1
         else:
-            t0 = int(pos_n[0]) // tile
-            t1 = (int(pos_n[-1]) + self.l_query + tile - 1) // tile
+            t0 = max(int(pos_n[0]) // tile, 0)
+            t1 = (int(pos_n[-1]) + span + tile - 1) // tile
             span_tiles = max(1, t1 - t0)
         # fixed plan width keeps one compiled census kernel across
         # chunks (512-tile window unless a chunk spans wider), and the
         # window is clamped inside the padded census buffer so the
         # device-side dynamic_update_slice never clips
         ntp = min(max(512, padded_tiles(span_tiles)), self.total_tiles)
-        t0 = min(t0, self.total_tiles - ntp)
+        t0 = max(min(t0, self.total_tiles - ntp), 0)
         item_off = np.arange(npad + 1, dtype=np.int64) * self.l_query
         rpos = np.full(npad, (self.total_tiles + self.bw + 2) * tile,
                        np.int64)
         rpos[:n] = pos_n
-        rend = rpos + self.l_query
+        rend = rpos + span
         plan = tile_plan(rpos, rend + 1, item_off, t0 * tile,
                          ntp * tile, tile=tile)
         lo = np.zeros(ntp, np.int32)
@@ -399,7 +666,7 @@ class DeviceCensusPipeline:
         qual = b.qual[gidx]
         _host_census(self.host_census, self.host_qsum, sub_pos, cig, coff,
                      seq4, qual, soff, self.ref_int, self.min_baseq,
-                     self.baq_flag)
+                     self.baq_flag, base=self.base)
 
     # ------------------------------------------------------------------
     def finish_checksum(self):

@@ -316,7 +316,7 @@ def main_mpileup(argv: list[str]) -> int:
         no_orphan=True, realn=True, smart_overlaps=True, redo_baq=False,
         illumina13=False, ignore_rg=False, all=0, rev_del=0, checkpoint=None,
         sep=",", empty="*", no_ins=0, no_ins_mods=0, no_del=0, no_ends=0,
-        flag_cols=0, auxtags=[], rghash=None,
+        flag_cols=0, auxtags=[], rghash=None, census_out=None,
     )
     reg = None
     bedidx = None
@@ -336,7 +336,7 @@ def main_mpileup(argv: list[str]) -> int:
         "output-mq", "customized-index", "reverse-del", "output-extra=",
         "output-sep=", "output-empty=", "no-output-ins",
         "no-output-ins-mods", "no-output-del", "no-output-ends",
-        "checkpoint=",
+        "checkpoint=", "census-out=",
     ]
     try:
         opts, args = gnu_getopt(argv, "Af:r:l:q:Q:RC:Bd:b:o:EG:6OsxXaM",
@@ -354,6 +354,10 @@ def main_mpileup(argv: list[str]) -> int:
             conf["rflag_filter"] = str2flag(v)
         elif o == "--checkpoint":
             conf["checkpoint"] = v
+        elif o == "--census-out":
+            # framework extension: per-window BAQ-stage census
+            # checksums (the device pipeline's validation artifact)
+            conf["census_out"] = v
         elif o in ("-o", "--output"):
             out_fname = v
         elif o in ("--output-QNAME", "--output-qname"):
@@ -911,12 +915,21 @@ def _run_pileup(files, paths, header, conf, region, bedidx, fai, out) -> int:
         except Exception:
             native_fast = False
 
+    # the TPU engine: fused device BAQ+census per window (falls back
+    # to the host HMM per window when the device/link can't take it)
+    engine = None
+    if (native_fast and conf["realn"] and conf["capQ_thres"] <= 10
+            and fai is not None
+            and os.environ.get("SAMTPU_DEVICE") not in ("0", "host")):
+        engine = _DeviceBaqEngine(conf)
+
     for tid, wb, we, subs in windows:
         name = header.ref_names[tid]
         if native_fast:
             states = None
             nat_sub, _, _ = _prepare_sub(subs[0], conf, tid, get_ref,
-                                         files[0], wb, we)
+                                         files[0], wb, we,
+                                         engine=engine)
             if nat_sub.n == 0:
                 continue
             data_hi = int(nat_sub.end_pos().max())
@@ -1043,6 +1056,9 @@ def _run_pileup(files, paths, header, conf, region, bedidx, fai, out) -> int:
             with open(ck_path + ".tmp", "w") as fh:
                 json.dump(st, fh)
             os.replace(ck_path + ".tmp", ck_path)
+
+    if engine is not None and conf.get("census_out"):
+        engine.write_census(conf["census_out"], header)
 
     # -a tail
     if conf["all"]:
@@ -1234,27 +1250,37 @@ def _prepare_file_state(sub, conf, tid, get_ref, files, f,
     return FileState(sub, p, piece_flat, piece_off, qual_chars, pass_q)
 
 
-def _prepare_sub(sub, conf, tid, get_ref, f, wb=None, we=None):
+def _prepare_sub(sub, conf, tid, get_ref, f, wb=None, we=None,
+                 engine=None):
     """mplp_func per-read transform+filter chain for one window's reads:
     illumina quals, BAQ, capQ, min-mapQ/orphan filters, depth cap,
-    overlap tweaks.  Returns (sub, ref, ref_len)."""
+    overlap tweaks.  Returns (sub, ref, ref_len).
+
+    With ``engine`` (the mpileup device engine) BAQ moves AFTER the
+    min-mapQ/orphan/depth-cap filters — output-identical when capQ is
+    inactive (those filters never read base quals; BAQ never touches
+    mapq) and it both skips BAQ for dropped reads and makes the fused
+    device census count exactly the filtered read set.  The engine is
+    only offered when capQ_thres <= 10 and realn is on."""
     # quality transforms
     if conf["illumina13"]:
         q = sub.qual.astype(np.int64)
         sub.qual = np.where(q > 31, q - 31, 0).astype(np.uint8)
     ref, ref_len = get_ref(tid)
-    if ref is not None and conf["realn"]:
-        from ..ops import baq
-        baq.apply_baq_batch(sub, ref, ref_len, redo=conf["redo_baq"])
-    if ref is not None and conf["capQ_thres"] > 10:
-        from ..ops import baq
-        newq = baq.cap_mapq_batch(sub, ref, ref_len, conf["capQ_thres"])
-        drop = newq < 0
-        sub.mapq = np.where(newq >= 0,
-                            np.minimum(sub.mapq, newq),
-                            sub.mapq).astype(np.uint8)
-        if drop.any():
-            sub = sub.take(np.nonzero(~drop)[0])
+    if engine is None:
+        if ref is not None and conf["realn"]:
+            from ..ops import baq
+            baq.apply_baq_batch(sub, ref, ref_len, redo=conf["redo_baq"])
+        if ref is not None and conf["capQ_thres"] > 10:
+            from ..ops import baq
+            newq = baq.cap_mapq_batch(sub, ref, ref_len,
+                                      conf["capQ_thres"])
+            drop = newq < 0
+            sub.mapq = np.where(newq >= 0,
+                                np.minimum(sub.mapq, newq),
+                                sub.mapq).astype(np.uint8)
+            if drop.any():
+                sub = sub.take(np.nonzero(~drop)[0])
     # min mapq / orphan filters come after BAQ/capQ (mplp_func order)
     keep = sub.mapq.astype(np.int64) >= conf["min_mq"]
     if conf["no_orphan"]:
@@ -1278,10 +1304,134 @@ def _prepare_sub(sub, conf, tid, get_ref, f, wb=None, we=None):
             f._cap_carry = (tid, we, nxt)
             if not keepm.all():
                 sub = sub.take(np.nonzero(keepm)[0])
+    if engine is not None and ref is not None and conf["realn"]:
+        engine.run_window(sub, tid, ref, ref_len, wb, we)
     if conf["smart_overlaps"]:
         from ..ops import overlaps
         overlaps.tweak_overlaps(sub)
     return sub, ref, ref_len
+
+
+class _DeviceBaqEngine:
+    """The mpileup tool's TPU engine (VERDICT r4 #1): each window's
+    BAQ + base census runs as the fused device pipeline
+    (ops/mpileup_device.DeviceCensusPipeline.apply_window), quals come
+    back for the host text writer, the census stays device-resident
+    and is consumed per window via its two-lane checksum for
+    --census-out (the tool's order-independent validation artifact,
+    the parity gate bench.py asserts against the single-core C loop).
+    Windows the device cannot take (no ref, tiny/ineligible data, link
+    too slow) fall back to the host HMM in place, with the same census
+    recorded host-side, so output and census stay byte-identical
+    either way.  Replaces /root/reference/bam_plcmd.c:451+607's
+    per-read, per-column host loops."""
+
+    def __init__(self, conf, nthreads: int = 2):
+        self.conf = conf
+        self.min_baseq = conf["min_baseQ"]
+        self.baq_flag = 7 if conf["redo_baq"] else 3
+        self.threads = max(nthreads, 2)
+        self.want_census = bool(conf.get("census_out"))
+        self.records: list = []
+        self.n_reads = 0
+        self.n_host = 0
+        self.n_device_windows = 0
+
+    def _device_ok(self, sub) -> bool:
+        import os
+        from ..engine import use_device
+        env = os.environ.get("SAMTPU_DEVICE", "auto")
+        if env in ("0", "host"):
+            return False
+        total = int(sub.seq_off[-1]) if sub.n else 0
+        if not use_device(total):
+            return False
+        if env in ("1", "device", "force"):
+            return True
+        from ..ops.baq import _d2h_rate_cached, _d2h_rate
+        min_rate = float(os.environ.get("SAMTPU_D2H_MIN_MBPS",
+                                        "50")) * 1e6
+        cached = _d2h_rate_cached()
+        rate = cached if cached is not None else _d2h_rate()
+        return rate >= min_rate
+
+    def run_window(self, sub, tid, ref, ref_len, wb, we):
+        """BAQ one prepared window in place (device when possible),
+        accumulating its census record."""
+        from ..ops import baq as baqmod
+        if sub.n == 0:
+            return
+        if wb is None:
+            wb, we = 0, ref_len
+        # census window clamps to the contig (reads cannot align past
+        # it; an unclamped window would skew the checksum weighting)
+        we = min(we, max(ref_len, wb + 1))
+        wb = min(wb, we)
+        pipe = None
+        if ref_len <= (64 << 20) and self._device_ok(sub):
+            lens = sub.seq_off[1:] - sub.seq_off[:-1]
+            lq = int(np.bincount(
+                np.minimum(lens, 1 << 14).astype(np.int64)).argmax())
+            if lq >= 8:
+                from ..ops.mpileup_device import DeviceCensusPipeline
+                ref_int = baqmod._ref_ints(ref)
+                try:
+                    pipe = DeviceCensusPipeline(
+                        ref_int, wlen=we - wb, base=wb,
+                        min_baseq=self.min_baseq,
+                        baq_flag=self.baq_flag, l_query=lq,
+                        ref_dev=baqmod._ref_dev_cached(ref_int))
+                except Exception:
+                    pipe = None
+        if pipe is not None:
+            from ..core import metrics
+            with metrics.stage("mpileup.device_window", sub.n, "reads"):
+                nh = pipe.apply_window(sub, wb, we,
+                                       threads=self.threads)
+            self.n_reads += sub.n
+            self.n_host += nh
+            self.n_device_windows += 1
+            if self.want_census:
+                s1, s2 = pipe.finish_checksum()
+                self.records.append(
+                    {"tid": int(tid), "beg": int(wb), "end": int(we),
+                     "reads": int(sub.n), "host_reads": int(nh),
+                     "engine": "device", "checksum": [s1, s2]})
+            return
+        # host window: plain BAQ, census (when asked) from final quals
+        baqmod.apply_baq_batch(sub, ref, ref_len,
+                               redo=self.conf["redo_baq"])
+        self.n_reads += sub.n
+        self.n_host += sub.n
+        if self.want_census:
+            self.records.append(
+                {"tid": int(tid), "beg": int(wb), "end": int(we),
+                 "reads": int(sub.n), "host_reads": int(sub.n),
+                 "engine": "host",
+                 "checksum": list(self._host_window_checksum(
+                     sub, wb, we))})
+
+    def _host_window_checksum(self, sub, wb, we):
+        from ..ops.mpileup_device import (NT16_TO4, _host_census,
+                                          census_checksum)
+        census = np.zeros((we - wb, 5), np.int64)
+        qsum = np.zeros(we - wb, np.int64)
+        _host_census(census, qsum, sub.pos.astype(np.int64), sub.cigar,
+                     sub.cigar_off, NT16_TO4[sub.seq], sub.qual,
+                     sub.seq_off, None, self.min_baseq, 0, base=wb,
+                     gate_lo=0, gate_hi=we - wb, newq=sub.qual)
+        return census_checksum(census, qsum)
+
+    def write_census(self, path: str, header) -> None:
+        rec = {"min_baseq": self.min_baseq,
+               "contigs": [str(n) for n in header.ref_names],
+               "reads": int(self.n_reads),
+               "host_reads": int(self.n_host),
+               "device_windows": int(self.n_device_windows),
+               "windows": self.records}
+        with open(path, "w") as fh:
+            json.dump(rec, fh)
+            fh.write("\n")
 
 
 def _depth_cap_stream(sub, maxcnt: int, wb: int, we: int, prev_keep):
