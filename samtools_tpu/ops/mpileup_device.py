@@ -581,7 +581,24 @@ class DeviceCensusPipeline:
         seq_nt16 = sub.seq[gidx]
         qual = sub.qual[gidx]
         spos = sub.pos[rows].astype(np.int64)
-        if self.baq_flag and native.available():
+        raw = sub.aux.tobytes()
+        if self.baq_flag and (b"BQZ" in raw or b"ZQZ" in raw):
+            # stored BQ/ZQ tags change BAQ to a tag conversion
+            # (sam_prob_realn's apply/convert paths) — per-read Python
+            # with each read's aux; qual updates only (the tool's text
+            # never prints aux in this mode)
+            from .baq import sam_prob_realn_single
+            newq = qual.copy()
+            for k, r in enumerate(rows):
+                got = sam_prob_realn_single(
+                    int(spos[k]), cig[coff[k]:coff[k + 1]],
+                    seq_nt16[soff[k]:soff[k + 1]],
+                    qual[soff[k]:soff[k + 1]], sub.aux_of(int(r)),
+                    self.ref_int, self.ref_int.size, self.baq_flag)
+                if got is not None:
+                    newq[soff[k]:soff[k + 1]] = got[0]
+            sub.qual[gidx] = newq
+        elif self.baq_flag and native.available():
             newq, _ = native.baq_batch(
                 spos, cig, coff, seq_nt16, qual, soff, self.ref_int,
                 flag=3, threads=threads)

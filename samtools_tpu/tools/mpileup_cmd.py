@@ -1368,7 +1368,10 @@ class _DeviceBaqEngine:
         we = min(we, max(ref_len, wb + 1))
         wb = min(wb, we)
         pipe = None
-        if ref_len <= (64 << 20) and self._device_ok(sub):
+        raw = sub.aux.tobytes()
+        has_tags = b"BQZ" in raw or b"ZQZ" in raw
+        if not has_tags and ref_len <= (64 << 20) \
+                and self._device_ok(sub):
             lens = sub.seq_off[1:] - sub.seq_off[:-1]
             lq = int(np.bincount(
                 np.minimum(lens, 1 << 14).astype(np.int64)).argmax())
