@@ -179,6 +179,41 @@ def _load():
             ]
         except AttributeError:
             pass
+        try:
+            lib.samtpu_stats_crc32_batch.restype = ctypes.c_int64
+            lib.samtpu_stats_crc32_batch.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_void_p,
+            ]
+            lib.samtpu_aux_find_batch.restype = ctypes.c_int64
+            lib.samtpu_aux_find_batch.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_uint8, ctypes.c_uint8,
+                ctypes.c_void_p, ctypes.c_void_p,
+            ]
+            lib.samtpu_stats_orig_hists.restype = ctypes.c_int64
+            lib.samtpu_stats_orig_hists.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+            ]
+            lib.samtpu_stats_cov_gcd.restype = ctypes.c_int64
+            lib.samtpu_stats_cov_gcd.argtypes = [
+                ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_int, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int64,
+            ]
+        except AttributeError:
+            pass
         _lib = lib
     except OSError:
         _lib = None
@@ -533,3 +568,90 @@ def nm_init_batch(qual: np.ndarray, seq: np.ndarray, seq_off: np.ndarray,
         md_off.ctypes.data, n, use_mqual, adj_qual, bayes116,
         homopoly_fix, nm_halo, sc_cost, out.ctypes.data)
     return out, qual
+
+
+def has_stats_native() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "samtpu_stats_cov_gcd") \
+        and lib.samtpu_stats_cov_gcd.argtypes is not None
+
+
+def stats_crc32_batch(qname: np.ndarray, qname_off: np.ndarray,
+                      seq: np.ndarray, qual: np.ndarray,
+                      seq_off: np.ndarray, idx: np.ndarray):
+    """(names, reads, quals) CRC32 sums over the selected records
+    (update_checksum, stats.c:783)."""
+    lib = _load()
+    qname = np.ascontiguousarray(qname, np.uint8)
+    qname_off = np.ascontiguousarray(qname_off, np.int64)
+    seq = np.ascontiguousarray(seq, np.uint8)
+    qual = np.ascontiguousarray(qual, np.uint8)
+    seq_off = np.ascontiguousarray(seq_off, np.int64)
+    idx = np.ascontiguousarray(idx, np.int64)
+    out = np.zeros(3, np.uint32)
+    lib.samtpu_stats_crc32_batch(
+        qname.ctypes.data, qname_off.ctypes.data, seq.ctypes.data,
+        qual.ctypes.data, seq_off.ctypes.data, idx.ctypes.data, idx.size,
+        out.ctypes.data)
+    return int(out[0]), int(out[1]), int(out[2])
+
+
+def aux_find_batch(aux: np.ndarray, aux_off: np.ndarray, idx: np.ndarray,
+                   tag: str):
+    """Per selected record: (value offset into aux, type char byte) of the
+    tag, offset -1 when absent."""
+    lib = _load()
+    aux = np.ascontiguousarray(aux, np.uint8)
+    aux_off = np.ascontiguousarray(aux_off, np.int64)
+    idx = np.ascontiguousarray(idx, np.int64)
+    out_off = np.empty(idx.size, np.int64)
+    out_type = np.empty(idx.size, np.uint8)
+    lib.samtpu_aux_find_batch(
+        aux.ctypes.data, aux_off.ctypes.data, idx.ctypes.data, idx.size,
+        ord(tag[0]), ord(tag[1]), out_off.ctypes.data,
+        out_type.ctypes.data)
+    return out_off, out_type
+
+
+def stats_cov_gcd(n: int, state: np.ndarray, tid: np.ndarray,
+                  pos: np.ndarray, readlen: np.ndarray,
+                  active: np.ndarray, gc_term: np.ndarray,
+                  span_off: np.ndarray, span_beg: np.ndarray,
+                  span_end: np.ndarray, fai_mode: int, gcd_bin_size: int,
+                  rbuf: np.ndarray, cov: np.ndarray, cov_min: int,
+                  cov_max: int, cov_step: int, gcd_gc: np.ndarray,
+                  gcd_depth: np.ndarray) -> int:
+    """Drive the native sorted-block residue; see samtpu.cc
+    samtpu_stats_cov_gcd for the state/return contract.  All arrays are
+    mutated in place and must be contiguous + correctly typed."""
+    lib = _load()
+    return int(lib.samtpu_stats_cov_gcd(
+        n, state.ctypes.data, tid.ctypes.data, pos.ctypes.data,
+        readlen.ctypes.data, active.ctypes.data, gc_term.ctypes.data,
+        span_off.ctypes.data, span_beg.ctypes.data, span_end.ctypes.data,
+        fai_mode, gcd_bin_size, rbuf.ctypes.data, rbuf.size,
+        cov.ctypes.data, cov.size, cov_min, cov_max, cov_step,
+        gcd_gc.ctypes.data, gcd_depth.ctypes.data, gcd_gc.size))
+
+
+def stats_orig_hists(seq, qual, seq_off, oidx, order, rev, nbases, q1, q2,
+                     a1, a2, ar, threads=2):
+    """Native per-base original-read histograms; accumulates q1/q2/a1/a2/
+    ar in place, returns (gc_count, qual_sum, max_qual) per selected
+    read / overall."""
+    lib = _load()
+    no = oidx.size
+    gc_out = np.zeros(no, np.int64)
+    qsum_out = np.zeros(no, np.int64)
+    maxq = np.zeros(1, np.int64)
+    oidx = np.ascontiguousarray(oidx, np.int64)
+    order = np.ascontiguousarray(order, np.uint8)
+    rev = np.ascontiguousarray(rev, np.uint8)
+    lib.samtpu_stats_orig_hists(
+        seq.ctypes.data, qual.ctypes.data, seq_off.ctypes.data,
+        oidx.ctypes.data, no, order.ctypes.data, rev.ctypes.data,
+        nbases, q1.shape[0], q1.ctypes.data, q2.ctypes.data,
+        a1.ctypes.data, a2.ctypes.data, ar.ctypes.data,
+        gc_out.ctypes.data, qsum_out.ctypes.data, maxq.ctypes.data,
+        threads)
+    return gc_out, qsum_out, int(maxq[0])

@@ -13,6 +13,7 @@ BCC/QTQ/CRC/CYQ/OXC/BZQ/RXC/QXQ) IS RL FRL LRL MAPQ ID IC COV GCD RFS.
 
 from __future__ import annotations
 
+import os
 import sys
 import zlib
 
@@ -1742,7 +1743,24 @@ def main_stats(argv: list[str]) -> int:
             else:
                 yield b, (_region_sel(b) if region_args else range(b.n))
 
+        # vectorized fast path: whole windows as numpy/JAX segment sums +
+        # native sequential residue (stats_batch.py); the per-record loop
+        # below stays as the parity oracle and the fallback for
+        # per-record-only options.  SAMTPU_STATS_SCALAR=1 forces it.
+        from . import stats_batch
+        use_batch = (os.environ.get("SAMTPU_STATS_SCALAR") != "1"
+                     and not info.split_tag
+                     and stats_batch.eligible(all_stats))
         for wb, indices in _windows():
+          if use_batch:
+            # bounded record chunks keep the flat per-base arrays small
+            # (state carries across calls exactly as across windows)
+            ind = np.asarray(indices, np.int64)
+            step = stats_batch.CHUNK_RECORDS
+            for c0 in range(0, ind.size, step):
+                stats_batch.collect_batch(all_stats, wb,
+                                          ind[c0:c0 + step])
+            continue
           for i in indices:
             rec = _Rec(wb, int(i))
             if info.split_tag:
