@@ -65,6 +65,48 @@ def flagstat_sharded(mesh: Mesh, flag, mapq, tid, mtid, valid):
     return run(flag, mapq, tid, mtid, valid)
 
 
+def flagstat_counts_sharded(mesh: Mesh, batch) -> dict:
+    """Tool-level mesh flagstat: a ReadBatch window → the {counter:
+    (qc_pass, qc_fail)} dict, records sharded over every mesh device
+    (both axes flattened into the data dimension).  This is the CLI face
+    of the psum census — `samtools_tpu flagstat` routes windows here
+    when SAMTPU_SHARDS > 1 (tests/test_multichip.py asserts N-device
+    stdout == 1-device stdout)."""
+    from ..ops.flagstat import COUNTERS, flagstat_device
+
+    from ..ops.flagstat import COUNTERS as _C
+    if batch.n == 0:
+        return {name: (0, 0) for name in _C}
+    n_dev = mesh.devices.size
+    flat = Mesh(mesh.devices.reshape(-1), ("data",)) \
+        if mesh.devices.ndim > 1 or tuple(mesh.axis_names) != ("data",) \
+        else mesh
+    n = batch.n
+    pad = (-n) % max(n_dev, 1)
+    size = n + pad
+
+    def padded(a, fill=0):
+        out = np.full((size,) + a.shape[1:], fill, a.dtype)
+        out[:n] = a[:n]
+        return out
+
+    sharding = NamedSharding(flat, P("data"))
+    args = [jax.device_put(x, sharding) for x in (
+        padded(batch.flag), padded(batch.mapq),
+        padded(batch.tid, -1), padded(batch.mtid, -1),
+        padded(np.ones(n, bool) if n else np.zeros(0, bool)))]
+
+    @partial(jax.jit,
+             in_shardings=sharding,
+             out_shardings=NamedSharding(flat, P()))
+    def run(flag, mapq, tid, mtid, valid):
+        return flagstat_device(flag, mapq, tid, mtid, valid)
+
+    total = np.asarray(run(*args), np.int64)
+    return {name: (int(total[i, 0]), int(total[i, 1]))
+            for i, name in enumerate(COUNTERS)}
+
+
 def segment_matmul_sharded(mesh: Mesh, refpos: np.ndarray, W: np.ndarray,
                            plan, chunk: int = 16):
     """Region-sharded pileup contraction: the genomic tile axis is

@@ -37,7 +37,8 @@ def percent_json(n: int, total: int) -> str:
     return "%.2f" % v
 
 
-def out_default(s, w=sys.stdout):
+def out_default(s, w=None):
+    w = w if w is not None else sys.stdout
     def p(line):
         w.write(line + "\n")
     p("%d + %d in total (QC-passed reads + QC-failed reads)" % s["n_reads"])
@@ -107,13 +108,15 @@ def _json_group(s, w: int) -> str:
     )
 
 
-def out_json(s, w=sys.stdout):
+def out_json(s, w=None):
+    w = w if w is not None else sys.stdout
     w.write("{\n \"QC-passed reads\": { \n" + _json_group(s, 0)
             + " },\n \"QC-failed reads\": { \n" + _json_group(s, 1)
             + " }\n}\n")
 
 
-def out_tsv(s, w=sys.stdout):
+def out_tsv(s, w=None):
+    w = w if w is not None else sys.stdout
     def p(line):
         w.write(line + "\n")
     p("%d\t%d\ttotal (QC-passed reads + QC-failed reads)" % s["n_reads"])
@@ -143,6 +146,30 @@ def out_tsv(s, w=sys.stdout):
         percent(s["n_sgltn"][1], s["n_pair_all"][1])))
     p("%d\t%d\twith mate mapped to a different chr" % s["n_diffchr"])
     p("%d\t%d\twith mate mapped to a different chr (mapQ>=5)" % s["n_diffhigh"])
+
+
+def _pick_count_fn(device: bool):
+    """Window census backend: host numpy, single-device einsum, or —
+    when SAMTPU_SHARDS asks for more than one shard — the mesh psum
+    census (parallel/mesh.py flagstat_counts_sharded), the CLI face of
+    the multi-chip reduction.  All three produce identical counts."""
+    if not device:
+        return fsops.flagstat_numpy
+    import os
+    v = os.environ.get("SAMTPU_SHARDS", "1")
+    try:
+        n = (0 if v == "all" else int(v))
+    except ValueError:
+        n = 1
+    if v == "all" or n > 1:
+        import jax
+        ndev = len(jax.devices())
+        n = ndev if v == "all" else min(n, ndev)
+        if n > 1:
+            from ..parallel.mesh import flagstat_counts_sharded, make_mesh
+            mesh = make_mesh(n_data=n, n_region=1)
+            return lambda part: flagstat_counts_sharded(mesh, part)
+    return fsops.flagstat_counts
 
 
 def main_flagstat(argv: list[str], device: bool = True) -> int:
@@ -177,18 +204,15 @@ def main_flagstat(argv: list[str], device: bool = True) -> int:
                 st = None
             if st is not None:
                 with st:
+                    count_fn = _pick_count_fn(device)
                     for part in st.batches(fields=0):
-                        p = (fsops.flagstat_counts(part) if device
-                             else fsops.flagstat_numpy(part))
+                        p = count_fn(part)
                         s = p if s is None else {
                             k: (s[k][0] + p[k][0], s[k][1] + p[k][1])
                             for k in s}
         if s is None:
             f = read_alignments(args[0], threads=ga.nthreads)
-            if device:
-                s = fsops.flagstat_counts(f.batch)
-            else:
-                s = fsops.flagstat_numpy(f.batch)
+            s = _pick_count_fn(device)(f.batch)
     except OSError as e:
         print_error_errno("flagstat",
                           'Cannot open input file "%s"', args[0], exc=e)

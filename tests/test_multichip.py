@@ -104,3 +104,50 @@ def test_checksum_combine_across_shards():
     parts = [ck.gf31_product(c) for c in np.array_split(crcs, 8)]
     merged = ck.gf31_product(np.array(parts, np.uint64))
     assert whole == merged
+
+
+def _run_cli_env(args, env):
+    """In-process CLI run with temporary env overrides; returns stdout."""
+    import contextlib
+    import io
+    import os
+
+    from samtools_tpu.cli import main as cli_main
+    old = {k: os.environ.get(k) for k in env}
+    os.environ.update(env)
+    try:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = cli_main(args)
+        assert rc == 0
+        return buf.getvalue()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+
+
+def test_flagstat_cli_mesh_equals_host():
+    """The flagstat TOOL sharded over 8 devices == the host run —
+    N-chip stdout equality at the CLI level (test.pl threads=>2
+    analog)."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    host = _run_cli_env(["flagstat", BAM1], {"SAMTPU_SHARDS": "1"})
+    sharded = _run_cli_env(["flagstat", BAM1], {"SAMTPU_SHARDS": "all"})
+    assert host == sharded and host
+
+
+def test_flagstat_cli_mesh_json_tsv():
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    for fmt in ("json", "tsv"):
+        host = _run_cli_env(["flagstat", "-O", fmt, BAM1],
+                            {"SAMTPU_SHARDS": "1"})
+        sharded = _run_cli_env(["flagstat", "-O", fmt, BAM1],
+                               {"SAMTPU_SHARDS": "8"})
+        assert host == sharded and host
