@@ -120,18 +120,37 @@ def main_reset(argv: list[str]) -> int:
     lines.extend(pg_lines)
     out_header = SamHeader.from_text("\n".join(lines) + "\n")
     if not no_pg_entry:
-        # CL-only @PG entry (reset.c:304 sam_hdr_add_pg with just CL)
+        # CL-only @PG entry via htslib sam_hdr_add_pg semantics
+        # (reset.c:267): ONE new @PG line per PG-chain end.  A chain end
+        # is a kept PG whose ID no other kept PG references through PP;
+        # merged headers carrying N parallel chains therefore gain N
+        # entries — samtools, samtools.1, ... — each PP-linked to its
+        # own chain end (reject.2.expected's 80 = 41 kept + 39 ends).
         existing = out_header.find_tag_values("PG", "ID")
-        uid = "samtools"
-        k = 1
-        while uid in existing:
-            uid = "samtools.%d" % k
-            k += 1
-        line = "@PG\tID:%s\tPN:samtools" % uid
-        if existing:
-            line += "\tPP:%s" % existing[-1]
-        line += "\tCL:%s" % ("samtools reset " + " ".join(argv))
-        out_header = SamHeader.from_text(out_header.text + line + "\n")
+        referenced = set(out_header.find_tag_values("PG", "PP"))
+        ends = [i for i in existing if i not in referenced]
+        cl = "samtools reset " + " ".join(argv)
+        taken = set(existing)
+
+        def uniq(base):
+            uid, k = base, 1
+            while uid in taken:
+                uid = "%s-%d" % (base, k)
+                k += 1
+            taken.add(uid)
+            return uid
+
+        new_lines = []
+        if not ends:
+            new_lines.append("@PG\tID:%s\tPN:samtools\tCL:%s"
+                             % (uniq("samtools"), cl))
+        else:
+            for i, end_id in enumerate(ends):
+                base = "samtools" if i == 0 else "samtools.%d" % i
+                new_lines.append("@PG\tID:%s\tPN:samtools\tPP:%s\tCL:%s"
+                                 % (uniq(base), end_id, cl))
+        out_header = SamHeader.from_text(
+            out_header.text + "\n".join(new_lines) + "\n")
 
     sel = np.nonzero((b.flag & (F.FSECONDARY | F.FSUPPLEMENTARY))
                      == 0)[0]

@@ -80,3 +80,24 @@ def test_reset_reject_pg_first():
     rc, _ = run_cli(["reset", "--dupflag", "--reject-PG", "bwa_index",
                      f"{R}/dat/mpileup.1.sam", "-o", "/dev/null"])
     assert rc == 0
+
+
+def test_reset_reject_pg_counts(tmp_path):
+    """reject.1/reject.2 goldens (test.pl:4054-4057): the @PG entry is
+    added per PG-chain end (htslib sam_hdr_add_pg), so the merged
+    mpileup.1 header's 39 parallel chains yield 39 samtools entries —
+    80 = 41 kept + 39."""
+    out = tmp_path / "o.sam"
+    rc, _ = run_cli(["reset", "--dupflag", "--reject-PG",
+                     "sam_to_fixed_bam", f"{R}/dat/mpileup.1.sam",
+                     "-o", str(out)])
+    assert rc == 0
+    n = sum(1 for l in out.read_text().splitlines()
+            if l.startswith("@PG\tID:"))
+    assert n == int(open(f"{R}/reset/reject.2.expected").read())
+    rc, _ = run_cli(["reset", "--dupflag", "--reject-PG", "bwa_index",
+                     f"{R}/dat/mpileup.1.sam", "-o", str(out)])
+    assert rc == 0
+    n = sum(1 for l in out.read_text().splitlines()
+            if l.startswith("@PG\tID:samtools\tPN:samtools"))
+    assert n == int(open(f"{R}/reset/reject.1.expected").read())
