@@ -708,3 +708,193 @@ def expand_method(method: int, data: bytes) -> dict:
     elif method == TOK3 and data:
         d["level"] = data[0]
     return d
+
+
+# ----------------------------------------------------------------------
+# rANS Nx16 encoder (CRAM 3.1 write path)
+#
+# Mirrors the decoder above exactly: the written frequency tables sum to
+# the full totfreq so the decoder's NormaliseFrequencies pass is the
+# identity, and the byte stream is produced in precise reverse of the
+# decoder's consumption order (states interleaved k%N for order-0; N
+# fragments plus a state-(N-1) tail for order-1).  N=4 streams; the
+# encoder falls back to CAT when entropy coding does not shrink the
+# payload (an encoder's free choice under the spec).
+
+_RANS_INT_L = 1 << 15
+
+
+def uint7_enc(v: int) -> bytes:
+    out = bytearray([v & 0x7F])
+    v >>= 7
+    while v:
+        out.append(0x80 | (v & 0x7F))
+        v >>= 7
+    return bytes(reversed(out))
+
+
+def _encode_alphabet(present: np.ndarray) -> bytes:
+    """Ascending symbol list with run shortcuts (decoder _read_alphabet
+    inverse; htscodecs encode_alphabet shape)."""
+    out = bytearray()
+    rle = 0
+    for j in range(256):
+        if not present[j]:
+            continue
+        if rle:
+            rle -= 1
+            continue
+        out.append(j)
+        if j and present[j - 1]:
+            r = j + 1
+            while r < 256 and present[r]:
+                r += 1
+            rle = r - (j + 1)
+            out.append(rle)
+    out.append(0)
+    return bytes(out)
+
+
+def _norm_to(counts: np.ndarray, totfreq: int) -> np.ndarray:
+    """Normalize raw counts to sum exactly to totfreq (used symbols keep
+    freq >= 1) — the encoder-side twin of _normalize."""
+    F = counts.astype(np.int64)
+    tot = int(F.sum())
+    if tot == 0:
+        return F.astype(np.uint32)
+    used = np.nonzero(F)[0]
+    out = np.zeros_like(F)
+    acc = 0
+    for s in used:
+        f = int(F[s]) * totfreq // tot
+        if f == 0:
+            f = 1
+        out[s] = f
+        acc += f
+    big = used[np.argmax(F[used])]
+    out[big] += totfreq - acc
+    if out[big] <= 0:
+        # pathological skew: flatten
+        out[:] = 0
+        ns = used.size
+        for k, s in enumerate(used):
+            out[s] = totfreq // ns + (1 if k < totfreq % ns else 0)
+    return out.astype(np.uint32)
+
+
+def _rans_enc_stream(syms: np.ndarray, freq_of, cum_of, shift: int,
+                     N: int, order1_layout: bool) -> bytes:
+    """Core reverse-order encoder.  freq_of/cum_of map (context, sym) ->
+    freq/cumulative (context ignored for order-0).  Returns states+stream
+    bytes (the part after the frequency tables)."""
+    n = syms.size
+    R = [_RANS_INT_L] * N
+    words: list[int] = []
+    mask16 = 0xFFFF
+
+    def put(j, ctx, s):
+        f = freq_of(ctx, s)
+        c = cum_of(ctx, s)
+        x = R[j]
+        x_max = ((_RANS_INT_L >> shift) << 16) * f
+        while x >= x_max:
+            words.append(x & mask16)
+            x >>= 16
+        R[j] = ((x // f) << shift) + c + (x % f)
+
+    if not order1_layout:
+        for k in range(n - 1, -1, -1):
+            put(k % N, 0, int(syms[k]))
+    else:
+        isz = n // N
+        # tail first (state N-1; contexts run on from fragment N-1)
+        for k in range(n - 1, N * isz - 1, -1):
+            ctx = int(syms[k - 1]) if k - 1 >= 0 else 0
+            put(N - 1, ctx, int(syms[k]))
+        for k in range(isz - 1, -1, -1):
+            for j in range(N - 1, -1, -1):
+                pos = j * isz + k
+                ctx = int(syms[pos - 1]) if k > 0 else 0
+                put(j, ctx, int(syms[pos]))
+    out = bytearray()
+    for j in range(N):
+        out += int(R[j]).to_bytes(4, "little")
+    for w in reversed(words):
+        out.append(w & 0xFF)
+        out.append(w >> 8)
+    return bytes(out)
+
+
+def ransNx16_compress(data: bytes, order: int = 0) -> bytes:
+    """Encode one rANS Nx16 stream (flags byte + size + tables + states
+    + stream).  order 0 or 1; falls back to CAT when that is smaller."""
+    n = len(data)
+    syms = np.frombuffer(data, np.uint8)
+    cat = bytes([X_CAT]) + uint7_enc(n) + data
+    if n < 32:
+        return cat
+    N = 4
+    if order == 0:
+        counts = np.bincount(syms, minlength=256)
+        F = _norm_to(counts, 1 << 12)
+        C = np.concatenate([[0], np.cumsum(F)])[:256].astype(np.int64)
+        present = F > 0
+        tbl = bytearray(_encode_alphabet(present))
+        for s in np.nonzero(present)[0]:
+            tbl += uint7_enc(int(F[s]))
+        Fi = F.astype(np.int64)
+
+        body = _rans_enc_stream(syms, lambda c, s: int(Fi[s]),
+                                lambda c, s: int(C[s]), 12, N, False)
+        out = bytes([0]) + uint7_enc(n) + bytes(tbl) + body
+    else:
+        shift = 12
+        isz = n // N
+        # pair counts: context = previous byte within fragment (0 at
+        # fragment starts); tail contexts continue fragment N-1
+        counts = np.zeros((256, 256), np.int64)
+        starts = syms[[j * isz for j in range(N)]] if isz else syms[:0]
+        for s in starts:
+            counts[0, int(s)] += 1
+        prev = syms[:-1].astype(np.int64).copy()
+        cur = syms[1:].astype(np.int64)
+        # fragment starts break the context chain
+        brk = np.zeros(n - 1, bool)
+        for j in range(1, N):
+            if isz:
+                brk[j * isz - 1] = True
+        np.add.at(counts, (prev[~brk], cur[~brk]), 1)
+        present = (counts.sum(axis=0) + counts.sum(axis=1)) > 0
+        present[0] = True
+        plist = np.nonzero(present)[0]
+        tbl = bytearray(_encode_alphabet(present))
+        Fn = {}
+        Cn = {}
+        for ctx in plist:
+            Fr = _norm_to(counts[ctx][plist], 1 << shift) \
+                if counts[ctx].sum() else np.zeros(plist.size, np.uint32)
+            full = np.zeros(256, np.uint32)
+            full[plist] = Fr
+            Fn[ctx] = full.astype(np.int64)
+            Cn[ctx] = np.concatenate(
+                [[0], np.cumsum(full)])[:256].astype(np.int64)
+            # freqs with zero-run shortcut over the listed alphabet
+            k = 0
+            while k < plist.size:
+                v = int(full[plist[k]])
+                tbl += uint7_enc(v)
+                if v == 0:
+                    zr = 0
+                    while (k + 1 + zr < plist.size
+                           and full[plist[k + 1 + zr]] == 0 and zr < 255):
+                        zr += 1
+                    tbl.append(zr)
+                    k += zr
+                k += 1
+        body = _rans_enc_stream(syms, lambda c, s: int(Fn[c][s]),
+                                lambda c, s: int(Cn[c][s]), shift, N,
+                                True)
+        comp = (shift << 4) | 0
+        out = bytes([X_ORDER]) + uint7_enc(n) + bytes([comp]) \
+            + bytes(tbl) + body
+    return out if len(out) < len(cat) else cat

@@ -99,21 +99,30 @@ def _gzip_member(payload: bytes) -> bytes:
 
 
 def encode_block(method: int, ctype: int, content_id: int,
-                 payload: bytes) -> bytes:
-    """method: 0 raw, 1 gzip, 4 rANS 4x8, -1 = pick the smallest of
-    {gzip, rans-o0, rans-o1} (the htslib method-trial behavior for
-    external data series, cram_io.c cram_compress_block)."""
+                 payload: bytes, version=(3, 0)) -> bytes:
+    """method: 0 raw, 1 gzip, 4 rANS 4x8, 6 rANS Nx16, -1 = pick the
+    smallest of {gzip, rans-4x8 o0/o1, and for CRAM >= 3.1 rans-Nx16
+    o0/o1} (the htslib method-trial behavior for external data series,
+    cram_io.c cram_compress_block)."""
     usize = len(payload)
     if method == -1:
         cands = [(1, _gzip_member(payload))]
         if 0 < usize < (1 << 30):
-            from .cram_codecs import rans4x8_compress
+            from .cram_codecs import rans4x8_compress, ransNx16_compress
             try:
                 cands.append((4, rans4x8_compress(payload, 0)))
                 if usize >= 1024:
                     cands.append((4, rans4x8_compress(payload, 1)))
             except Exception:
                 pass
+            if version >= (3, 1):
+                # method 5 = rANS Nx16 (CRAM 3.1 codec table)
+                try:
+                    cands.append((5, ransNx16_compress(payload, 0)))
+                    if usize >= 1024:
+                        cands.append((5, ransNx16_compress(payload, 1)))
+                except Exception:
+                    pass
         method, comp = min(cands, key=lambda mc: len(mc[1]))
     elif method == 1:
         comp = _gzip_member(payload)
@@ -236,7 +245,8 @@ def encode_cram(header, batch, ref_lookup, version=(3, 0),
         i = j
     for beg, end, tid in runs:
         cont = _encode_container(header, batch, beg, end, tid,
-                                 ref_lookup, counter, crai, len(out))
+                                 ref_lookup, counter, crai, len(out),
+                                 version)
         counter += end - beg
         out += cont
     out += CRAM_EOF
@@ -244,7 +254,7 @@ def encode_cram(header, batch, ref_lookup, version=(3, 0),
 
 
 def _encode_container(header, batch, beg, end, tid, ref_lookup, counter,
-                      crai, file_offset):
+                      crai, file_offset, version=(3, 0)):
     nrec = end - beg
     ref = ref_lookup(tid) if tid >= 0 else None
     st = _Streams()
@@ -311,7 +321,8 @@ def _encode_container(header, batch, beg, end, tid, ref_lookup, counter,
     for key, data in st.b.items():
         cid = CID[key] if key in CID else key  # tag streams keyed by cid
         content_ids.append(cid)
-        ext_blocks.append(encode_block(-1, 4, cid, bytes(data)))
+        ext_blocks.append(encode_block(-1, 4, cid, bytes(data),
+                                        version))
     core_block = encode_block(0, 5, 0, b"")
 
     md5 = b"\x00" * 16

@@ -202,22 +202,36 @@ def write_alignments(path: str | None, header: SamHeader, batch: ReadBatch,
                      include_header: bool = True,
                      header_only: bool = False,
                      reference: str | None = None,
-                     write_index: bool = False) -> bytes | None:
+                     write_index: bool = False,
+                     fmt_opts: dict | None = None) -> bytes | None:
     """Write records; path None/'-' writes to stdout."""
     from ..core import metrics
     with metrics.stage("encode+write", batch.n, "reads"):
         return _write_alignments(path, header, batch, fmt, threads, level,
                                  include_header, header_only, reference,
-                                 write_index)
+                                 write_index, fmt_opts)
 
 
 def _write_alignments(path, header, batch, fmt, threads, level,
                       include_header, header_only, reference,
-                      write_index) -> bytes | None:
+                      write_index, fmt_opts=None) -> bytes | None:
     if fmt == "cram":
         from .cram_encode import encode_cram, write_crai
+        version = (3, 0)
+        v = (fmt_opts or {}).get("version")
+        if v:
+            try:
+                major, minor = str(v).split(".")
+                version = (int(major), int(minor))
+            except ValueError:
+                pass
+            if version not in ((2, 1), (3, 0), (3, 1)):
+                raise FormatError("unsupported CRAM version %s" % (v,))
+            if version == (2, 1):
+                version = (3, 0)   # writer floor, like htslib pre-3.0
         payload, crai = encode_cram(header, batch,
-                                    cram_ref_lookup(header, reference))
+                                    cram_ref_lookup(header, reference),
+                                    version=version)
         if path and path != "-" and write_index:
             write_crai(path + ".crai", crai)
         if path is None or path == "-":

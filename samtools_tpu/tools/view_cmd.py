@@ -156,7 +156,7 @@ def _stream_view(stream, f, header, args, ga, fn_out, fn_counts,
         write_alignments(fn_out, header, ob, fmt=out_fmt,
                          threads=ga.nthreads, level=level,
                          include_header=include_header,
-                         reference=ga.reference)
+                         reference=ga.reference, fmt_opts=ga.out_opts)
         total = ob.n
     finally:
         if writer is not None:
@@ -588,7 +588,7 @@ def main_view(argv: list[str]) -> int:
     if is_header_only:
         write_alignments(fn_out, header, b.take(np.empty(0, np.int64)),
                          fmt=out_fmt, threads=ga.nthreads, level=level,
-                         header_only=True)
+                         header_only=True, fmt_opts=ga.out_opts)
         return 0
 
     if unmap:
@@ -610,7 +610,7 @@ def main_view(argv: list[str]) -> int:
                      threads=ga.nthreads, level=level,
                      include_header=include_header,
                      reference=ga.reference,
-                     write_index=ga.write_index)
+                     write_index=ga.write_index, fmt_opts=ga.out_opts)
     if ga.write_index and fn_out and out_fmt == "bam":
         from .index_cmd import build_index_for
         build_index_for(fn_out, None, False, 14, ga.nthreads)
@@ -625,7 +625,7 @@ def main_view(argv: list[str]) -> int:
                          threads=ga.nthreads, level=level,
                          include_header=(is_header if un_fmt in
                                          ("sam", "sam.gz") else True),
-                         reference=ga.reference)
+                         reference=ga.reference, fmt_opts=ga.out_opts)
     if fn_counts:
         with open(fn_counts, "wt") as fh:
             fh.write(str(out_batch.n) + "\n")

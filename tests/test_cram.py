@@ -156,3 +156,59 @@ def test_cram_write_unmapped_and_multi_ref(tmp_path):
     assert a.n == b.n
     for f in ("tid", "pos", "flag", "qname", "seq"):
         assert np.array_equal(getattr(a, f), getattr(b, f)), f
+
+
+def test_cram31_write_roundtrip(tmp_path):
+    """CRAM 3.1 writer: version bytes 3.1, rANS Nx16 (method 5) blocks in
+    the method trials, our spec decoder reads back byte-exact records."""
+    import numpy as np
+    from samtools_tpu.io.files import read_alignments, write_alignments
+    src = "/root/reference/test/mpileup/mpileup.1.bam"
+    ref = "/root/reference/test/mpileup/mpileup.ref.fa"
+    af = read_alignments(src)
+    out = str(tmp_path / "rt31.cram")
+    write_alignments(out, af.header, af.batch, fmt="cram", reference=ref,
+                     fmt_opts={"version": "3.1"})
+    data = open(out, "rb").read()
+    assert data[:4] == b"CRAM" and data[4] == 3 and data[5] == 1
+    # at least one external block chose rANS Nx16 (method 5, btype 4)
+    assert any(data[i] == 5 and data[i + 1] == 4
+               for i in range(len(data) - 1))
+    back = read_alignments(out, reference=ref)
+    a, b = back.batch, af.batch
+    assert a.n == b.n
+    for f in ("tid", "pos", "mapq", "flag", "mtid", "mpos", "tlen",
+              "qname", "seq", "qual"):
+        assert np.array_equal(getattr(a, f), getattr(b, f)), f
+
+
+def test_cram31_cli_and_cram_size(tmp_path):
+    out = str(tmp_path / "c31.cram")
+    ref = "/root/reference/test/mpileup/ce.fa"
+    src = "/root/reference/test/mpileup/ce#5b.bam"
+    rc, _ = run_cli(["view", "-C", "-T", ref, "--output-fmt-option",
+                     "version=3.1", "-o", out, src])
+    assert rc == 0
+    rc, sam31 = run_cli(["view", "-T", ref, out])
+    rc2, sam = run_cli(["view", src])
+    assert rc == 0 and rc2 == 0 and sam31 == sam
+    rc, size_out = run_cli(["cram-size", out])
+    assert rc == 0 and size_out.startswith(b"#   Content_ID")
+
+
+def test_ransnx16_encoder_roundtrip():
+    import numpy as np
+    from samtools_tpu.io.cram_codecs import (ransNx16_compress,
+                                             ransNx16_uncompress)
+    rng = np.random.default_rng(11)
+    cases = [
+        b"", b"A", b"AAAA" * 100,
+        rng.integers(0, 256, 2000).astype(np.uint8).tobytes(),
+        rng.choice(np.frombuffer(b"ACGTN", np.uint8), 5000).tobytes(),
+        (rng.integers(33, 74, 3000).astype(np.uint8)).tobytes(),
+    ]
+    for data in cases:
+        for order in (0, 1):
+            enc = ransNx16_compress(data, order)
+            dec, _ = ransNx16_uncompress(enc, 0, None)
+            assert dec == data, (len(data), order)
