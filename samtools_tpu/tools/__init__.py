@@ -60,6 +60,15 @@ COMMANDS = {
     "seq_cache_populate": ("samtools_tpu.tools.misc_cmds",
                            "main_seq_cache_populate"),
     "ace2sam": ("samtools_tpu.tools.ace2sam_cmd", "main_ace2sam"),
+    "maq2sam": ("samtools_tpu.tools.convert_cmds", "main_maq2sam"),
+    "bowtie2sam": ("samtools_tpu.tools.convert_cmds", "main_bowtie2sam"),
+    "psl2sam": ("samtools_tpu.tools.convert_cmds", "main_psl2sam"),
+    "soap2sam": ("samtools_tpu.tools.convert_cmds", "main_soap2sam"),
+    "zoom2sam": ("samtools_tpu.tools.convert_cmds", "main_zoom2sam"),
+    "novo2sam": ("samtools_tpu.tools.convert_cmds", "main_novo2sam"),
+    "export2sam": ("samtools_tpu.tools.convert_cmds", "main_export2sam"),
+    "fasta-sanitize": ("samtools_tpu.tools.convert_cmds",
+                       "main_fasta_sanitize"),
 }
 
 
