@@ -312,6 +312,42 @@ def main() -> int:
     except Exception as e:  # messy variant must never sink the bench
         messy_detail = {"error": str(e)[:200]}
 
+    # stats + calmd batch engines (round-5 kernel rows): the vectorized
+    # /native window paths vs their per-record oracles, same workload
+    aux_rows = {}
+    try:
+        env = dict(os.environ)
+        t0 = time.perf_counter()
+        subprocess.run([sys.executable, "-m", "samtools_tpu", "stats",
+                        path], stdout=subprocess.DEVNULL, check=True,
+                       env=env, cwd=os.path.dirname(
+                           os.path.abspath(__file__)))
+        stats_s = time.perf_counter() - t0
+        env2 = dict(env, SAMTPU_STATS_SCALAR="1")
+        t0 = time.perf_counter()
+        subprocess.run([sys.executable, "-m", "samtools_tpu", "stats",
+                        path], stdout=subprocess.DEVNULL, check=True,
+                       env=env2, cwd=os.path.dirname(
+                           os.path.abspath(__file__)))
+        stats_scalar_s = time.perf_counter() - t0
+        aux_rows["stats"] = {
+            "batch_s": round(stats_s, 2),
+            "scalar_oracle_s": round(stats_scalar_s, 2),
+            "reads_per_s": int(base["nrec"] / stats_s),
+            "speedup": round(stats_scalar_s / stats_s, 1)}
+    except Exception as e:
+        aux_rows["stats"] = {"error": str(e)[:120]}
+    try:
+        t0 = time.perf_counter()
+        subprocess.run([sys.executable, "-m", "samtools_tpu", "calmd",
+                        "-b", path, FASTA], stdout=subprocess.DEVNULL,
+                       stderr=subprocess.DEVNULL, check=True,
+                       env=dict(os.environ), cwd=os.path.dirname(
+                           os.path.abspath(__file__)))
+        aux_rows["calmd_bam_out_s"] = round(time.perf_counter() - t0, 2)
+    except Exception as e:
+        aux_rows["calmd"] = {"error": str(e)[:120]}
+
     n_bases = base["nrec"] * READ_LEN
     tool_rate = n_bases / tool["tool_s"]
     base_rate = n_bases / base["total_s"]
@@ -349,6 +385,7 @@ def main() -> int:
             },
             "parity": parity_msg,
             "messy_indel_clip": messy_detail,
+            "kernel_rows": aux_rows,
             "device": str(jax.devices()[0]),
         },
     }

@@ -52,6 +52,13 @@ def uncompress(method: int, data: bytes, usize: int) -> bytes:
     if method == RANSNx16:
         out, _ = ransNx16_uncompress(data, 0, usize)
         return out
+    if method == ARITH:
+        from .cram_fqz import arith_uncompress
+        return arith_uncompress(data, usize)
+    if method == FQZ:
+        from .cram_fqz import fqz_uncompress
+        out, _lens = fqz_uncompress(data, usize)
+        return out
     raise NotImplementedError(
         "CRAM compression method %d not supported" % method)
 

@@ -62,9 +62,11 @@ def read_alignments(path: str, threads: int = 0,
     """Read a whole SAM/BAM file into a columnar batch.  ``reference``
     names a FASTA used for CRAM decode (-T/--reference)."""
     from ..core import metrics
+    from . import hfile
     if path == "-":
         data = sys.stdin.buffer.read()
     else:
+        path = hfile.resolve(path)
         with open(path, "rb") as f:
             data = f.read()
     with metrics.stage("read+decode", len(data), "bytes"):

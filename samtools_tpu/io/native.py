@@ -192,6 +192,13 @@ def _load():
                 ctypes.c_int64, ctypes.c_uint8, ctypes.c_uint8,
                 ctypes.c_void_p, ctypes.c_void_p,
             ]
+            lib.samtpu_sam_format.restype = ctypes.c_int64
+            lib.samtpu_sam_format.argtypes = (
+                [ctypes.c_int64] + [ctypes.c_void_p] * 8
+                + [ctypes.c_void_p] * 9 + [ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_void_p),
+                ctypes.POINTER(ctypes.c_int64)])
             lib.samtpu_stats_orig_hists.restype = ctypes.c_int64
             lib.samtpu_stats_orig_hists.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -655,3 +662,46 @@ def stats_orig_hists(seq, qual, seq_off, oidx, order, rev, nbases, q1, q2,
         gc_out.ctypes.data, qsum_out.ctypes.data, maxq.ctypes.data,
         threads)
     return gc_out, qsum_out, int(maxq[0])
+
+
+def has_sam_format() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "samtpu_sam_format") \
+        and getattr(lib.samtpu_sam_format, "argtypes", None) is not None
+
+
+def sam_format(b, idx: np.ndarray, names_blob: np.ndarray,
+               names_off: np.ndarray) -> str | None:
+    """Format records b[idx] as SAM text (with newlines); None on any
+    malformed aux (caller uses the Python path, keeping its errors)."""
+    lib = _load()
+    idx = np.ascontiguousarray(idx, np.int64)
+    out = ctypes.c_void_p()
+    out_len = ctypes.c_int64()
+    rc = lib.samtpu_sam_format(
+        idx.size, idx.ctypes.data,
+        np.ascontiguousarray(b.tid, np.int32).ctypes.data,
+        np.ascontiguousarray(b.pos, np.int64).ctypes.data,
+        np.ascontiguousarray(b.mapq, np.uint8).ctypes.data,
+        np.ascontiguousarray(b.flag, np.uint16).ctypes.data,
+        np.ascontiguousarray(b.mtid, np.int32).ctypes.data,
+        np.ascontiguousarray(b.mpos, np.int64).ctypes.data,
+        np.ascontiguousarray(b.tlen, np.int64).ctypes.data,
+        np.ascontiguousarray(b.qname, np.uint8).ctypes.data,
+        np.ascontiguousarray(b.qname_off, np.int64).ctypes.data,
+        np.ascontiguousarray(b.cigar, np.uint32).ctypes.data,
+        np.ascontiguousarray(b.cigar_off, np.int64).ctypes.data,
+        np.ascontiguousarray(b.seq, np.uint8).ctypes.data,
+        np.ascontiguousarray(b.seq_off, np.int64).ctypes.data,
+        np.ascontiguousarray(b.qual, np.uint8).ctypes.data,
+        np.ascontiguousarray(b.aux, np.uint8).ctypes.data,
+        np.ascontiguousarray(b.aux_off, np.int64).ctypes.data,
+        names_blob.ctypes.data, names_off.ctypes.data,
+        names_off.size - 1, ctypes.byref(out), ctypes.byref(out_len))
+    if rc < 0:
+        return None
+    try:
+        return ctypes.string_at(out.value, out_len.value).decode(
+            "latin-1")
+    finally:
+        lib.samtpu_buf_free(out)

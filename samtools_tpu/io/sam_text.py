@@ -202,7 +202,33 @@ def format_record(header: SamHeader, b: ReadBatch, i: int) -> str:
 
 def format_records(header: SamHeader, b: ReadBatch,
                    idx: np.ndarray | None = None) -> str:
-    """Many records -> SAM text (with trailing newline if any records)."""
+    """Many records -> SAM text (with trailing newline if any records).
+
+    Rides the native batch formatter (samtpu_sam_format — identical
+    bytes incl. %g float tags, validated in tests/test_native.py) when
+    the library is present; the Python per-record path is the oracle and
+    the fallback for malformed aux."""
+    import os
+    if os.environ.get("SAMTPU_SAM_TEXT_SCALAR") != "1":
+        from . import native
+        if native.has_sam_format() and b.n:
+            blob = getattr(header, "_native_names", None)
+            if blob is None:
+                names = [header.ref_name(t) for t in
+                         range(header.n_refs)]
+                raw = "".join(names).encode("latin-1")
+                blob = (np.frombuffer(raw, np.uint8),
+                        np.concatenate([[0], np.cumsum(
+                            [len(n) for n in names])]).astype(np.int64))
+                try:
+                    header._native_names = blob
+                except Exception:
+                    pass
+            ind = (np.arange(b.n, dtype=np.int64) if idx is None
+                   else np.asarray(idx, np.int64))
+            got = native.sam_format(b, ind, blob[0], blob[1])
+            if got is not None:
+                return got
     rng = range(b.n) if idx is None else [int(x) for x in idx]
     lines = [format_record(header, b, i) for i in rng]
     return "".join(line + "\n" for line in lines)

@@ -74,6 +74,8 @@ class BamStream:
 
     def __init__(self, path: str, threads: int = 0,
                  window_bytes: int = 32 << 20):
+        from .hfile import resolve
+        path = resolve(path)
         self.path = path
         self.threads = threads or 2
         env_win = os.environ.get("SAMTPU_STREAM_WINDOW")

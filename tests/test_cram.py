@@ -212,3 +212,21 @@ def test_ransnx16_encoder_roundtrip():
             enc = ransNx16_compress(data, order)
             dec, _ = ransNx16_uncompress(enc, 0, None)
             assert dec == data, (len(data), order)
+
+
+def test_arith_fqz_roundtrip():
+    """CRAM 3.1 adaptive codecs (methods 6/7): exact-inverse range-coder
+    pair; external htscodecs bit-streams are rejected explicitly (no
+    reference fixture exists to validate that variant)."""
+    import numpy as np
+    from samtools_tpu.io import cram_codecs as cc
+    from samtools_tpu.io.cram_fqz import (arith_compress, fqz_compress)
+    rng = np.random.default_rng(5)
+    data = rng.choice(np.frombuffer(b"ACGTN", np.uint8), 3000).tobytes()
+    for order in (0, 1):
+        enc = arith_compress(data, order)
+        assert cc.uncompress(cc.ARITH, enc, len(data)) == data
+    lens = [100] * 25
+    quals = rng.integers(0, 45, sum(lens)).astype(np.uint8).tobytes()
+    enc = fqz_compress(quals, lens)
+    assert cc.uncompress(cc.FQZ, enc, len(quals)) == quals

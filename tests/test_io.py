@@ -120,3 +120,52 @@ def test_take_and_concat(ref_dir):
     cat = ReadBatch.concat([sub, batch])
     assert cat.n == batch.n + 3
     assert cat.qname_str(3) == batch.qname_str(0)
+
+
+def test_http_url_input(tmp_path):
+    """hfile analog: http:// inputs fetch through the URL cache and flow
+    into the normal readers (served from a local http.server)."""
+    import http.server
+    import os
+    import socketserver
+    import subprocess
+    import sys
+    import threading
+
+    src = "/root/reference/test/mpileup/mpileup.1.bam"
+    serve = tmp_path / "www"
+    serve.mkdir()
+    (serve / "in.bam").write_bytes(open(src, "rb").read())
+
+    class H(http.server.SimpleHTTPRequestHandler):
+        def __init__(self, *a, **k):
+            super().__init__(*a, directory=str(serve), **k)
+
+        def log_message(self, *a):
+            pass
+
+    with socketserver.TCPServer(("127.0.0.1", 0), H) as httpd:
+        port = httpd.server_address[1]
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            repo = os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))
+            env = dict(os.environ, PYTHONPATH=repo,
+                       SAMTPU_PLATFORM="cpu", JAX_PLATFORMS="cpu",
+                       SAMTPU_CACHE=str(tmp_path / "cache"))
+            url = "http://127.0.0.1:%d/in.bam" % port
+            p1 = subprocess.run(
+                [sys.executable, "-m", "samtools_tpu", "flagstat", url],
+                capture_output=True, env=env)
+            p2 = subprocess.run(
+                [sys.executable, "-m", "samtools_tpu", "flagstat", src],
+                capture_output=True, env=env)
+            assert p1.returncode == 0 and p1.stdout == p2.stdout
+            # cached: second run hits the local copy
+            p3 = subprocess.run(
+                [sys.executable, "-m", "samtools_tpu", "view", "-c",
+                 url], capture_output=True, env=env)
+            assert p3.returncode == 0 and p3.stdout.strip() == b"569"
+        finally:
+            httpd.shutdown()
