@@ -131,13 +131,14 @@ def base_hists_device(nbases: int, cycle: np.ndarray, qual: np.ndarray,
 
 
 def use_device_hists(n_items: int) -> bool:
+    """Host is the single-chip default: the native histogram pass beats
+    a device round-trip for these tiny tensors (the win is multi-chip
+    psum, exercised via the mesh tests and SAMTPU_SHARDS tools).
+    SAMTPU_STATS_DEVICE=1 forces the device kernel; =0 forbids it."""
     env = os.environ.get("SAMTPU_STATS_DEVICE")
     if env == "1":
         return True
-    if env == "0":
-        return False
-    from .. import engine
-    return engine.use_device(n_items)
+    return False
 
 
 def base_hists(nbases: int, cycle, qual, col, order, rev):

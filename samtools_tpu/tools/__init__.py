@@ -69,6 +69,9 @@ COMMANDS = {
     "export2sam": ("samtools_tpu.tools.convert_cmds", "main_export2sam"),
     "fasta-sanitize": ("samtools_tpu.tools.convert_cmds",
                        "main_fasta_sanitize"),
+    "blast2sam": ("samtools_tpu.tools.convert_cmds", "main_blast2sam"),
+    "interpolate_sam": ("samtools_tpu.tools.convert_cmds",
+                        "main_interpolate_sam"),
 }
 
 

@@ -945,3 +945,199 @@ def main_export2sam(argv: list[str]) -> int:
                 "read2 file at line no: %d.\n\n" % (line_no + 1))
             return 1
     return 0
+
+
+# ------------------------------------------------------------------ blast
+
+def main_blast2sam(argv: list[str]) -> int:
+    """misc/blast2sam.pl: NCBI blastn default-format output → SAM."""
+    show_seq = "-s" in argv or "-sd" in argv or "-ds" in argv
+    dummy_score = "-d" in argv or "-sd" in argv or "-ds" in argv
+    args = [v for v in argv if v not in ("-s", "-d", "-sd", "-ds")]
+    if not args and sys.stdin.isatty():
+        sys.stderr.write("Usage: blast2sam.pl <in.blastn>\n")
+        return 1
+    sam: list = [None] * 13
+    sam[0], sam[4] = "", 255
+    sam[6], sam[7], sam[8], sam[10] = "*", 0, 0, "*"
+    cigar: list = []
+    cmaux = [0, 0, 0, ""]
+    started_cm = False
+    qlen = qend = 0
+    qbeg = 0
+
+    def aln2cm(qs: str, ss: str):
+        for qc, sc in zip(qs, ss):
+            op = 1 if qc == "-" else 2 if sc == "-" else 0
+            if cmaux[0] == op:
+                cmaux[1] += 1
+            else:
+                cigar.append("%d%s" % (cmaux[1], "MDI"[cmaux[0]]))
+                cmaux[0], cmaux[1] = op, 1
+
+    def print_sam():
+        cigar.append("%d%s" % (cmaux[1], "MDI"[cmaux[0]]))
+        cg = list(cigar)
+        s9 = sam[9] or ""
+        if sam[1] is not None and sam[1] & 0x10:
+            cg = list(reversed(cg))
+            s9 = s9[::-1].translate(str.maketrans(
+                "atgcrymkswATGCRYMKSW", "tacgyrkmswTACGYRKMSW"))
+        if s9:
+            q10 = "I" * len(s9) if dummy_score else sam[10]
+        else:
+            s9 = "*"
+            q10 = sam[10]
+        sam[5] = "".join(cg)
+        row = list(sam)
+        row[9], row[10] = s9, q10
+        sys.stdout.write("\t".join(
+            "" if v is None else str(v) for v in row) + "\n")
+
+    lines = _input_lines(args)
+    for line in lines:
+        if ((cigar or started_cm)
+                and (line.startswith("Query=")
+                     or re.search(r"Score =.*bits.*Expect", line)
+                     or re.match(r"^>\S+", line))):
+            print_sam()
+            cigar[:] = []
+            started_cm = False
+        m = re.match(r"^Query=\s(\S+)", line)
+        if m:
+            sam[2] = None
+            sam[0] = m.group(1)
+            nxt = next(lines, "")
+            m2 = re.match(r"^(\S+)$", nxt.rstrip("\n"))
+            if m2:
+                sam[0] += m2.group(1)
+            continue
+        m = re.search(r"(\S+)\s+total letters", line)
+        if m:
+            qlen = int(m.group(1).replace(",", ""))
+            continue
+        m = re.match(r"^>(\S+)", line)
+        if m:
+            sam[2] = m.group(1)
+            continue
+        m = re.search(r"Score\s+=\s+(\S+) bits.+Expect(\(\d+\))?\s+=\s+"
+                      r"(\S+)", line)
+        if m:
+            as_score = int(float(m.group(1)) + 0.499)
+            ev = m.group(3)
+            if ev.startswith("e"):
+                ev = "1" + ev
+            sam[1], sam[3], sam[9] = 0, 0, ""
+            sam[11] = "AS:i:%d" % as_score
+            sam[12] = "EV:Z:%s" % ev
+            cigar[:] = []
+            qbeg = 0
+            cmaux[:] = [0, 0, 0, ""]
+            started_cm = True
+            continue
+        m = re.search(r"Strand=(\S+)/(\S+)", line)
+        if m:
+            if m.group(2) == "Minus":
+                sam[1] |= 0x10
+            continue
+        m = re.search(r"Query\s+(\d+)\s*(\S+)\s+(\d+)", line)
+        if m:
+            q = m.group(2)
+            if not qbeg:
+                qbeg = int(m.group(1))
+                if qbeg > 1:
+                    cigar.append("%dH" % (qbeg - 1))
+            qend = int(m.group(3))
+            if show_seq:
+                sam[9] = (sam[9] or "") + q.replace("-", "")
+            last_q = q
+            continue
+        m = re.search(r"Sbjct:*\s+(\d+)\s*(\S+)\s+(\d+)", line)
+        if m:
+            s_aln = m.group(2)
+            if sam[1] & 0x10:
+                sam[3] = int(m.group(3))
+            elif not sam[3]:
+                sam[3] = int(m.group(1))
+            aln2cm(last_q, s_aln)
+            continue
+    if sam[2]:
+        print_sam()
+    _ = qlen, qend
+    return 0
+
+
+# ------------------------------------------------------- interpolate_sam
+
+def main_interpolate_sam(argv: list[str]) -> int:
+    """misc/interpolate_sam.pl: per-base open-fragment counts from a
+    name-annotated SAM (RNAME carrying :...:...:...:...:size)."""
+    if not argv:
+        sys.stderr.write("No sam file defined on arg 1\n")
+        return 1
+    path = argv[0]
+    import os as _os
+    if not _os.path.isfile(path):
+        sys.stderr.write("Sam file does not exist: %s\n" % path)
+        return 1
+    w = sys.stdout.write
+    cur_loc = ""
+    cur_size = 0
+    cur_pos = 1
+    open_n = 0
+    close: dict[int, int] = {}
+
+    def parse_cigar(cg: str):
+        md = {"M": 0, "I": 0, "D": 0}
+        for m in re.finditer(r"([0-9]+)([A-Z])", cg):
+            nt = m.group(2)
+            if nt not in ("M", "D", "I"):
+                nt = "M"
+            md[nt] += int(m.group(1))
+        return md
+
+    with open(path) as f:
+        for line in f:
+            t = line.split("\t")
+            if cur_loc != t[2]:
+                for i in range(cur_pos, cur_size + 1):
+                    if i in close:
+                        open_n -= close.pop(i)
+                    w("%d\n" % open_n)
+                if cur_loc != "":
+                    w("\n")
+                lt = t[2].split(":")
+                cur_pos = 1
+                cur_loc = t[2]
+                cur_size = int(lt[4]) if len(lt) > 4 else 0
+                open_n = 0
+                close = {}
+                w("#%s\n" % t[2])
+                for _i in range(1, int(t[3])):
+                    w("%d\n" % open_n)
+                cur_pos = int(t[3])
+            else:
+                p3 = int(t[3])
+                if p3 > cur_pos:
+                    for i in range(cur_pos, p3):
+                        if i in close:
+                            open_n -= close.pop(i)
+                        w("%d\n" % open_n)
+                    cur_pos = p3
+            open_n += 1
+            fl = int(t[1])
+            if ((fl & 0x80 or fl & 0x40) and fl & 0x10 and fl & 0x2):
+                open_n -= 1
+                pc = parse_cigar(t[5])
+                end = int(t[3]) + pc["M"] + pc["D"] - 1
+                close[end + 1] = close.get(end + 1, 0) + 1
+            elif not (fl & 0x1) or not (fl & 0x2):
+                pc = parse_cigar(t[5])
+                end = int(t[3]) + pc["M"] + pc["D"] - 1
+                close[end + 1] = close.get(end + 1, 0) + 1
+    for i in range(cur_pos, cur_size + 1):
+        if i in close:
+            open_n -= close.pop(i)
+        w("%d\n" % open_n)
+    w("\n")
+    return 0

@@ -263,3 +263,83 @@ def test_cli_lists_converters():
                  "zoom2sam", "novo2sam", "export2sam",
                  "fasta-sanitize"):
         assert name in COMMANDS
+
+
+BLAST = """\
+BLASTN 2.2.26
+
+Query= readA
+fragment1
+         (60 letters)
+
+Database: ref.fa
+           2 sequences; 12,000 total letters
+
+>chr9
+          Length = 5000
+
+ Score = 95.6 bits (48), Expect = 2e-20
+ Identities = 55/60 (91%)
+ Strand=Plus/Plus
+
+Query  1   ACGTACGTACGTACGTACGT-ACGTACGTA  29
+           ||||||||||||||||||||  ||||||||
+Sbjct  101 ACGTACGTACGTACGTACGTTACGTACGTA  130
+
+Query  30  CCGTACGTACGTACGTACGTACGTACGTAC  59
+           ||||||||||||||||||||||||||||||
+Sbjct  131 CCGTACGTACGTACGTACGTACGTACGTAC  160
+
+
+ Score = 40.1 bits (20), Expect = 3e-05
+ Identities = 20/22 (90%)
+ Strand=Plus/Minus
+
+Query  5    ACGTACGTACGTACGTACGTAC  26
+            ||||||||||||||||||||||
+Sbjct  900  ACGTACGTACGT-CGTACGTAC  880
+
+Query= readB
+         (30 letters)
+
+>chr2
+          Length = 7000
+
+ Score = 60.2 bits (30), Expect = 1e-10
+ Strand=Plus/Plus
+
+Query  3   ACGTACGTACGTACGTACGTACGTAC  28
+           ||||||||||||||||||||||||||
+Sbjct  55  ACGTACGTACGTACGTACGTACGTAC  80
+
+"""
+
+
+def test_blast2sam(tmp_path):
+    f = tmp_path / "in.blastn"
+    f.write_text(BLAST)
+    for extra in ([], ["-s"], ["-sd"]):
+        rc1, ours = run_ours("blast2sam", extra + [str(f)])
+        rc2, want = run_perl("blast2sam.pl", extra + [str(f)])
+        assert rc1 == 0 and rc2 == 0
+        assert ours == want, extra
+
+
+def test_interpolate_sam(tmp_path):
+    lines = []
+    loc = "frag:1:2:3:40"
+    recs = [
+        ("r1", 0x43, loc, 3, "10M"),
+        ("r2", 0x53, loc, 8, "6M2D4M"),
+        ("r3", 0x0, loc, 15, "12M"),
+        ("r4", 0x63, loc, 20, "5M"),
+    ]
+    for name, fl, rn, pos, cg in recs:
+        lines.append("\t".join([name, str(fl), rn, str(pos), "30", cg,
+                                "*", "0", "0", "ACGT", "IIII"]))
+    f = tmp_path / "in.sam"
+    f.write_text("\n".join(lines) + "\n")
+    rc1, ours = run_ours("interpolate_sam", [str(f)])
+    rc2, want = run_perl("interpolate_sam.pl", [str(f)])
+    assert rc1 == 0 and rc2 == 0
+    assert ours == want
