@@ -72,6 +72,8 @@ COMMANDS = {
     "blast2sam": ("samtools_tpu.tools.convert_cmds", "main_blast2sam"),
     "interpolate_sam": ("samtools_tpu.tools.convert_cmds",
                         "main_interpolate_sam"),
+    "wgsim_eval": ("samtools_tpu.tools.wgsim_eval_cmd",
+                   "main_wgsim_eval"),
 }
 
 

@@ -343,3 +343,43 @@ def test_interpolate_sam(tmp_path):
     rc2, want = run_perl("interpolate_sam.pl", [str(f)])
     assert rc1 == 0 and rc2 == 0
     assert ours == want
+
+
+def test_wgsim_eval_alneval_unique(tmp_path):
+    sam = "\n".join([
+        "@HD\tVN:1.6",
+        "chr1_100_199_0:0:0_0:0:0_1\t0\tchr1\t100\t60\t50M\t*\t0\t0\t"
+        + "A" * 50 + "\t" + "I" * 50,
+        "chr1_100_199_0:0:0_0:0:0_1\t256\tchr1\t900\t20\t50M\t*\t0\t0\t"
+        + "A" * 50 + "\t" + "I" * 50 + "\tAS:i:44",
+        "chr1_300_399_0:0:0_0:0:0_2\t16\tchr1\t350\t37\t40M10S\t*\t0\t0\t"
+        + "C" * 50 + "\t" + "I" * 50,
+        "chr2_10_80_0:0:0_0:0:0_3\t0\tchr1\t10\t15\t50M\t*\t0\t0\t"
+        + "G" * 50 + "\t" + "I" * 50,
+    ]) + "\n"
+    f = tmp_path / "in.sam"
+    f.write_text(sam)
+    for sub, extra in (("alneval", []), ("alneval", ["-a"]),
+                       ("unique", []), ("unique", ["-Q"])):
+        rc1, ours = run_ours("wgsim_eval", [sub] + extra + [str(f)])
+        rc2, want = run_perl("wgsim_eval.pl", [sub] + extra + [str(f)])
+        assert rc1 == rc2 == 0
+        assert ours == want, (sub, extra)
+
+
+def test_wgsim_eval_uniqcmp(tmp_path):
+    def mk(path, pos2):
+        path.write_text("\n".join([
+            "r1\t0\tchr1\t100\t60\t50M\t*\t0\t0\t" + "A" * 50 + "\t"
+            + "I" * 50 + "\tNM:i:1",
+            "r2\t16\tchr2\t%d\t40\t45M5S\t*\t0\t0\t" % pos2 + "C" * 50
+            + "\t" + "I" * 50,
+        ]) + "\n")
+    a = tmp_path / "a.sam"
+    b = tmp_path / "b.sam"
+    mk(a, 500)
+    mk(b, 800)
+    rc1, ours = run_ours("wgsim_eval", ["uniqcmp", str(a), str(b)])
+    rc2, want = run_perl("wgsim_eval.pl", ["uniqcmp", str(a), str(b)])
+    assert rc1 == rc2 == 0
+    assert ours == want
