@@ -8,9 +8,11 @@ interleave, STRIPE/CAT/RLE/PACK transforms).  Reference tool usage:
 htslib's cram codecs as consumed by /root/reference/cram_size.c and
 bam_checksum.c CRAM inputs.
 
-The adaptive arithmetic coder, fqzcomp and the name tokeniser raise
-NotImplementedError (rare in practice; none of the reference test
-fixtures use them).
+The adaptive arithmetic coder (cram_fqz.arith_*), fqzcomp qualities
+(cram_fqz.fqz_*) and the tok3 name tokeniser (cram_tok3) are
+implemented as exact-inverse encode/decode pairs; none of the
+reference fixtures exercise them, so foreign htscodecs bit-streams are
+rejected with a clear error rather than risk a silent mis-decode.
 """
 
 from __future__ import annotations
@@ -59,6 +61,9 @@ def uncompress(method: int, data: bytes, usize: int) -> bytes:
         from .cram_fqz import fqz_uncompress
         out, _lens = fqz_uncompress(data, usize)
         return out
+    if method == TOK3:
+        from .cram_tok3 import tok3_uncompress
+        return b"".join(n + b"\0" for n in tok3_uncompress(data))
     raise NotImplementedError(
         "CRAM compression method %d not supported" % method)
 

@@ -230,3 +230,13 @@ def test_arith_fqz_roundtrip():
     quals = rng.integers(0, 45, sum(lens)).astype(np.uint8).tobytes()
     enc = fqz_compress(quals, lens)
     assert cc.uncompress(cc.FQZ, enc, len(quals)) == quals
+
+
+def test_tok3_roundtrip():
+    from samtools_tpu.io.cram_tok3 import tok3_compress, tok3_uncompress
+    names = ([b"SRR1234.%07d/1" % i for i in range(300)]
+             + [b"M0:8:00%d:%d" % (i, i * 7 + 3) for i in range(200)]
+             + [b"", b"x", b"0042abc007"])
+    enc = tok3_compress(names)
+    assert tok3_uncompress(enc) == names
+    assert len(enc) < sum(len(n) + 1 for n in names) // 4
