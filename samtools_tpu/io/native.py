@@ -221,10 +221,74 @@ def _load():
             ]
         except AttributeError:
             pass
+        try:
+            lib.samtpu_classify_reads.restype = ctypes.c_int64
+            lib.samtpu_classify_reads.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_int,
+            ]
+            lib.samtpu_census_checksum.restype = None
+            lib.samtpu_census_checksum.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_void_p,
+            ]
+        except AttributeError:
+            pass
         _lib = lib
     except OSError:
         _lib = None
     return _lib
+
+
+def has_classify() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "samtpu_classify_reads")
+
+
+def classify_reads(pos: np.ndarray, cigar: np.ndarray,
+                   cigar_off: np.ndarray, seq_off: np.ndarray,
+                   qual: np.ndarray, sel: np.ndarray, l_query: int,
+                   ref_len: int, bw: int, maxops: int, threads: int = 2
+                   ) -> tuple[np.ndarray, np.ndarray, np.ndarray,
+                              np.ndarray]:
+    """Native device-eligibility walk (ops/mpileup_device.classify_reads
+    semantics).  Returns (elig bool[n], lead i64[n], lref i64[n],
+    cig8 u32[n, maxops])."""
+    lib = _load()
+    n = int(sel.size)
+    pos = np.ascontiguousarray(pos, np.int64)
+    cigar = np.ascontiguousarray(cigar, np.uint32)
+    cigar_off = np.ascontiguousarray(cigar_off, np.int64)
+    seq_off = np.ascontiguousarray(seq_off, np.int64)
+    qual = np.ascontiguousarray(qual, np.uint8)
+    sel = np.ascontiguousarray(sel, np.int64)
+    elig = np.empty(n, np.uint8)
+    lead = np.empty(n, np.int64)
+    lref = np.empty(n, np.int64)
+    cig8 = np.empty((n, maxops), np.uint32)
+    lib.samtpu_classify_reads(
+        pos.ctypes.data, cigar.ctypes.data, cigar_off.ctypes.data,
+        seq_off.ctypes.data, qual.ctypes.data, int(qual.size),
+        sel.ctypes.data, n, l_query, ref_len, bw, maxops,
+        elig.ctypes.data, lead.ctypes.data, lref.ctypes.data,
+        cig8.ctypes.data, max(1, threads))
+    return elig.astype(bool), lead, lref, cig8
+
+
+def census_checksum(census: np.ndarray, qsum: np.ndarray
+                    ) -> tuple[int, int]:
+    """Native two-lane weighted checksum over (census[wlen,5], qsum)."""
+    lib = _load()
+    census = np.ascontiguousarray(census, np.int64)
+    qsum = np.ascontiguousarray(qsum, np.int64)
+    out2 = np.empty(2, np.uint32)
+    lib.samtpu_census_checksum(census.ctypes.data, qsum.ctypes.data,
+                               int(qsum.size), out2.ctypes.data)
+    return int(out2[0]), int(out2[1])
 
 
 def available() -> bool:

@@ -2058,3 +2058,113 @@ extern "C" int64_t samtpu_sam_format(
   *out_len = (int64_t)s.size();
   return nidx;
 }
+
+// ---------------------------------------------------------------------------
+// Device-eligibility classification for the fused BAQ+census pipeline
+// (mirrors ops/mpileup_device.classify_reads, the vectorized analog of
+// baq_one's alignment-extent walk above).  For each selected read computes
+// whether the uniform-shape device kernel can ingest it (<= maxops cigar
+// ops, exact l_query, M-extent band within bw, window inside the contig)
+// plus the per-read HMM window parameters (lead, lref) and the padded
+// cigar row.  lead/lref are valid only where elig[i] != 0.
+// Thread-parallel over reads.  Returns n.
+
+extern "C" int64_t samtpu_classify_reads(
+    const int64_t* pos, const uint32_t* cigar, const int64_t* cigar_off,
+    const int64_t* seq_off, const uint8_t* qual, int64_t qual_size,
+    const int64_t* sel, int64_t n, int64_t l_query, int64_t ref_len,
+    int64_t bw, int64_t maxops, uint8_t* elig, int64_t* lead,
+    int64_t* lref, uint32_t* cig8, int threads) {
+  auto work = [&](int64_t lo0, int64_t hi0) {
+    for (int64_t i = lo0; i < hi0; ++i) {
+      int64_t r = sel[i];
+      int64_t nc = cigar_off[r + 1] - cigar_off[r];
+      int64_t lq = seq_off[r + 1] - seq_off[r];
+      int64_t p = pos[r];
+      uint32_t* crow = cig8 + i * maxops;
+      int64_t ncc = nc < maxops ? nc : maxops;
+      for (int64_t j = 0; j < ncc; ++j) crow[j] = cigar[cigar_off[r] + j];
+      for (int64_t j = ncc < 0 ? 0 : ncc; j < maxops; ++j) crow[j] = 0;
+      lead[i] = 0;
+      lref[i] = 0;
+      bool ok = nc >= 1 && nc <= maxops && lq == l_query && p >= 0 &&
+                p + l_query + 16 < (int64_t)1 << 31;
+      if (!ok) { elig[i] = 0; continue; }
+      // walk the (<= maxops) ops: query/ref spans + first/last M extent
+      int64_t qpos = 0, rpos = 0;
+      int64_t yb = -1, xbM = -1, ye = -1, xeM = -1;
+      bool has_m = false;
+      for (int64_t j = 0; j < nc; ++j) {
+        uint32_t op = crow[j] & 0xF;
+        int64_t ln = (int64_t)(crow[j] >> 4);
+        if (op == 3 || op > 8) { ok = false; break; }  // N/B -> host
+        bool is_m = (op == 0 || op == 7 || op == 8) && ln > 0;
+        if (is_m) {
+          if (!has_m) { yb = qpos; xbM = p + rpos; has_m = true; }
+          ye = qpos + ln;
+          xeM = p + rpos + ln;
+        }
+        if (is_m || op == 1 || op == 4) qpos += ln;
+        if (is_m || op == 2) rpos += ln;
+      }
+      if (!ok || !has_m) { elig[i] = 0; continue; }
+      int64_t diff = (xeM - xbM) - (ye - yb);
+      if (diff < 0) diff = -diff;
+      if (diff > bw) { elig[i] = 0; continue; }
+      int64_t ld = yb < xbM ? yb : xbM;
+      int64_t xb = xbM - ld;
+      int64_t xe = xeM + (l_query - ye) + bw / 2;
+      int64_t lr = xe - xb;
+      int64_t dl = lr - l_query;
+      if (dl < 0) dl = -dl;
+      if (xe > ref_len || xb < 0 || dl > bw) { elig[i] = 0; continue; }
+      if (qual_size > 0) {
+        int64_t q0 = seq_off[r];
+        if (q0 > qual_size - 1) q0 = qual_size - 1;
+        if (qual[q0] == 0xFF) { elig[i] = 0; continue; }
+      }
+      elig[i] = 1;
+      lead[i] = ld;
+      lref[i] = lr;
+    }
+  };
+  int nt = threads > 1 ? threads : 1;
+  if (nt > n) nt = n > 0 ? (int)n : 1;
+  if (nt <= 1) {
+    work(0, n);
+  } else {
+    std::vector<std::thread> ws;
+    int64_t per = (n + nt - 1) / nt;
+    for (int t = 0; t < nt; ++t) {
+      int64_t lo = t * per, hi = lo + per < n ? lo + per : n;
+      if (lo >= hi) break;
+      ws.emplace_back(work, lo, hi);
+    }
+    for (auto& w : ws) w.join();
+  }
+  return n;
+}
+
+// Two-lane weighted census checksum — identical math to
+// ops/mpileup_device.census_checksum (uint32 wrap-around accumulation over
+// [census.ravel(), qsum] with index-derived weights).  census is
+// int64[wlen*5] row-major, qsum int64[wlen]; writes {s1, s2} to out2.
+extern "C" void samtpu_census_checksum(const int64_t* census,
+                                       const int64_t* qsum, int64_t wlen,
+                                       uint32_t* out2) {
+  uint32_t s1 = 0, s2 = 0;
+  uint32_t idx = 0;
+  const int64_t n5 = wlen * 5;
+  for (int64_t i = 0; i < n5; ++i, ++idx) {
+    uint32_t v = (uint32_t)(uint64_t)census[i];
+    s1 += v * (idx * 2654435761u);
+    s2 += v * ((idx + 0x9E3779B9u) * 40503u);
+  }
+  for (int64_t i = 0; i < wlen; ++i, ++idx) {
+    uint32_t v = (uint32_t)(uint64_t)qsum[i];
+    s1 += v * (idx * 2654435761u);
+    s2 += v * ((idx + 0x9E3779B9u) * 40503u);
+  }
+  out2[0] = s1;
+  out2[1] = s2;
+}

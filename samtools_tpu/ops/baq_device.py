@@ -70,8 +70,12 @@ def _decode_row(fM_i, bM_i, fI_i, bI_i, i, crow, qrow, B: int,
     # interleave M/I per band slot: rows [2j]=M_j, [2j+1]=I_j
     z2 = jnp.stack([fM_i * bM_i, fI_i * bI_i], axis=1).reshape(2 * W, B)
     best = jnp.argmax(z2, axis=0)
-    mx = jnp.take_along_axis(z2, best[None, :], axis=0)[0]
-    z2z = z2.at[best, jnp.arange(B)].set(0.0)
+    # argmax row == max value; masking it out with a compare is the
+    # vectorized equivalent of the scatter z2.at[best, b].set(0) (TPU
+    # scatters/gathers serialize on the scalar core) — bit-identical
+    mx = z2.max(0)
+    rows2 = jnp.arange(2 * W, dtype=best.dtype)[:, None]
+    z2z = jnp.where(rows2 == best[None, :], jnp.float32(0.0), z2)
     leak = z2z.sum(0)
     mx2 = z2z.max(0)
     tot = mx + leak

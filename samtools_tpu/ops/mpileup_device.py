@@ -35,6 +35,8 @@ Two consumers:
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from ..core import flags as F
@@ -67,6 +69,13 @@ def classify_reads(b, sel: np.ndarray, l_query: int, ref_len: int,
         z = np.zeros(0, np.int64)
         return (np.zeros(0, bool), z, z,
                 np.zeros((0, MAXOPS), np.uint32))
+    from ..io import native
+    if n >= 4096 and not os.environ.get("SAMTPU_CLASSIFY_PY") \
+            and native.has_classify():
+        return native.classify_reads(
+            b.pos, b.cigar, b.cigar_off, b.seq_off, b.qual, sel,
+            l_query, ref_len, bw, MAXOPS,
+            threads=int(os.environ.get("SAMTPU_THREADS", "2")))
     nc = b.cigar_off[sel + 1] - b.cigar_off[sel]
     lq = b.seq_off[sel + 1] - b.seq_off[sel]
     pos = b.pos[sel].astype(np.int64)
@@ -129,13 +138,14 @@ def _chunk_jit():
 
     @partial(jax.jit, static_argnames=(
         "l_query", "l_ref_max", "bw", "n_tiles_pad", "B", "tile",
-        "chunk", "passes", "min_baseq", "baq_flag", "collect_quals"))
+        "chunk", "passes", "min_baseq", "baq_flag", "collect_quals",
+        "use_pallas"))
     def chunk_step(census, ref_dev, buf, n_live, lo, hi, wbeg, base,
                    gate_lo, gate_hi,
                    l_query: int, l_ref_max: int, bw: int,
                    n_tiles_pad: int, B: int, tile: int, chunk: int,
                    passes: int, min_baseq: int, baq_flag: int,
-                   collect_quals: bool):
+                   collect_quals: bool, use_pallas: bool = False):
         # buf: uint8[C, HDR + 2*l_query] =
         #   LE i32 pos | LE u16 lead | LE u16 lref | f32 bM | f32 bI |
         #   LE u32 cig8[8] | seq nt16 | qual
@@ -212,16 +222,43 @@ def _chunk_jit():
         W = jnp.concatenate(
             [onehot, appq.reshape(-1, 1).astype(jnp.int8)], axis=1)
         W = jnp.where(g[:, None], W, 0)
-        segmm = _get_segmm()
         rp = refpos_rel.reshape(-1).astype(jnp.int32)
-        total = None
-        cur_lo = lo
-        for _ in range(passes):
-            out = segmm(rp, W, cur_lo, hi, wbeg.astype(jnp.int32), B=B,
-                        chunk=chunk, n_tiles_pad=n_tiles_pad,
-                        out_int=True, tile=tile)
-            total = out if total is None else total + out
-            cur_lo = jnp.minimum(cur_lo + B, hi)
+        if use_pallas:
+            # hand-scheduled Pallas contraction (ops/pileup_pallas.py):
+            # double-buffered DMA over the tile's contiguous item
+            # slice, dead blocks skipped — the XLA one-hot einsum below
+            # is gather-bound on TPU (~60x slower at census shapes)
+            from . import pileup_pallas as pp
+            kb, kp = pp.KB, pp.KP
+            n_items = rp.shape[0]
+            n_pad = -(-n_items // kb) * kb + B
+            rp_p = jnp.pad(rp, (0, n_pad - n_items),
+                           constant_values=np.int32(-(1 << 31)))
+            W_p = jnp.pad(W, ((0, n_pad - n_items),
+                              (0, kp - CENSUS_K)))
+            rp3 = rp_p.reshape(-1, 1, kb)
+            w3 = W_p.reshape(-1, kb, kp).transpose(0, 2, 1)
+            fn = pp._build(B // kb, n_tiles_pad, False, tile, kb)
+            total_f = None
+            cur_lo = lo.astype(jnp.int32)
+            hi32 = hi.astype(jnp.int32)
+            for _ in range(passes):
+                o = fn(cur_lo, hi32,
+                       wbeg.astype(jnp.int32).reshape(1), rp3, w3)
+                total_f = o if total_f is None else total_f + o
+                cur_lo = jnp.minimum(
+                    jnp.maximum(cur_lo, (cur_lo // kb) * kb + B), hi32)
+            total = total_f[:, :CENSUS_K].astype(jnp.int32)
+        else:
+            segmm = _get_segmm()
+            total = None
+            cur_lo = lo
+            for _ in range(passes):
+                out = segmm(rp, W, cur_lo, hi, wbeg.astype(jnp.int32),
+                            B=B, chunk=chunk, n_tiles_pad=n_tiles_pad,
+                            out_int=True, tile=tile)
+                total = out if total is None else total + out
+                cur_lo = jnp.minimum(cur_lo + B, hi)
         census = jax.lax.dynamic_update_slice(
             census, jax.lax.dynamic_slice(
                 census, (wbeg, 0),
@@ -307,6 +344,10 @@ def census_checksum(census: np.ndarray, qsum: np.ndarray):
     """Host-side order-independent weighted checksum, two uint32 lanes;
     identical math to DeviceCensusPipeline.finish_checksum (wrapping
     mod 2^32)."""
+    from ..io import native
+    if qsum.size >= 4096 and native.available() \
+            and hasattr(native._load(), "samtpu_census_checksum"):
+        return native.census_checksum(census, qsum)
     c = np.ascontiguousarray(census, np.int64).astype(np.uint32).ravel()
     q = np.ascontiguousarray(qsum, np.int64).astype(np.uint32).ravel()
     v = np.concatenate([c, q])
@@ -317,6 +358,55 @@ def census_checksum(census: np.ndarray, qsum: np.ndarray):
         s1 = int((v * w1).sum(dtype=np.uint64) & 0xFFFFFFFF)
         s2 = int((v * w2).sum(dtype=np.uint64) & 0xFFFFFFFF)
     return s1, s2
+
+
+def _ck_jit(wlen: int):
+    """Cached jitted device checksum for a window length (one compile
+    per wlen per process, not per pipeline instance)."""
+    import jax
+    import jax.numpy as jnp
+    fn = _CK_CACHE.get(wlen)
+    if fn is None:
+        @jax.jit
+        def _ck(c):
+            v = c[:wlen, :5].astype(jnp.uint32).ravel()
+            q = c[:wlen, 5].astype(jnp.uint32)
+            idx = jnp.arange(v.size + q.size, dtype=jnp.uint32)
+            w1 = idx * jnp.uint32(2654435761)
+            w2 = (idx + jnp.uint32(0x9E3779B9)) * jnp.uint32(40503)
+            allv = jnp.concatenate([v, q])
+            s1 = jnp.sum(allv * w1, dtype=jnp.uint32)
+            s2 = jnp.sum(allv * w2, dtype=jnp.uint32)
+            return s1, s2
+        fn = _CK_CACHE[wlen] = _ck
+    return fn
+
+
+_CK_CACHE: dict = {}
+
+
+def _split_jit():
+    import jax
+    import jax.numpy as jnp
+    global _SPLIT_FN, _CAST_FN
+    if _SPLIT_FN is None:
+        @jax.jit
+        def _split(c):
+            counts = c[:, :5]
+            qsum = c[:, 5]
+            return counts.max(), qsum.max(), counts, qsum
+
+        from functools import partial
+
+        @partial(jax.jit, static_argnames=("d",))
+        def _cast(x, d):
+            return x.astype(d)
+
+        _SPLIT_FN, _CAST_FN = _split, _cast
+    return _SPLIT_FN, _CAST_FN
+
+
+_SPLIT_FN = _CAST_FN = None
 
 
 _NT16_OF4 = np.array([1, 2, 4, 8, 15], np.uint8)
@@ -361,6 +451,13 @@ class DeviceCensusPipeline:
         self.n_host_reads = 0
         self.n_risky = 0
         self._pending = None  # deferred risky masks of the last batch
+        try:
+            self.use_pallas = (
+                os.environ.get("SAMTPU_PALLAS", "auto") not in
+                ("0", "interpret")
+                and jax.devices()[0].platform == "tpu")
+        except Exception:
+            self.use_pallas = False
 
     # ------------------------------------------------------------------
     def _gather_rows(self, b, dsel):
@@ -462,7 +559,8 @@ class DeviceCensusPipeline:
                 jnp.int32(self.wlen),
                 self.l_query, self.l_query + LREF_PAD, self.bw,
                 plan[3], plan[4], self.tile, 16, plan[5],
-                self.min_baseq, 1 if self.baq_flag else 0, False)
+                self.min_baseq, 1 if self.baq_flag else 0, False,
+                self.use_pallas)
             risky_parts.append((risky, lo, n))
         # drain the PREVIOUS batch's risky masks now: the fetch blocks
         # until that batch's device work finishes, which overlaps with
@@ -519,7 +617,8 @@ class DeviceCensusPipeline:
                     jnp.int32(gate_hi - self.base),
                     self.l_query, self.l_query + LREF_PAD, self.bw,
                     plan[3], plan[4], self.tile, 16, plan[5],
-                    self.min_baseq, 1 if self.baq_flag else 0, True)
+                    self.min_baseq, 1 if self.baq_flag else 0, True,
+                    self.use_pallas)
                 handles.append((risky, appq, lo, cn))
         return (sub, dsel, handles, gate_lo, gate_hi, hsel)
 
@@ -693,25 +792,10 @@ class DeviceCensusPipeline:
         degraded.  The checksum is linear, so the device part and the
         host-fallback part combine by addition mod 2^32."""
         import jax
-        import jax.numpy as jnp
         if self._pending is not None:
             prev, self._pending = self._pending, None
             self._drain(prev)
-        wlen = self.wlen
-
-        @jax.jit
-        def _ck(c):
-            v = c[:wlen, :5].astype(jnp.uint32).ravel()
-            q = c[:wlen, 5].astype(jnp.uint32)
-            idx = jnp.arange(v.size + q.size, dtype=jnp.uint32)
-            w1 = idx * jnp.uint32(2654435761)
-            w2 = (idx + jnp.uint32(0x9E3779B9)) * jnp.uint32(40503)
-            allv = jnp.concatenate([v, q])
-            s1 = jnp.sum(allv * w1, dtype=jnp.uint32)
-            s2 = jnp.sum(allv * w2, dtype=jnp.uint32)
-            return s1, s2
-
-        s1, s2 = jax.device_get(_ck(self.census_dev))
+        s1, s2 = jax.device_get(_ck_jit(self.wlen)(self.census_dev))
         h1, h2 = census_checksum(self.host_census, self.host_qsum)
         return (int(s1) + h1) & 0xFFFFFFFF, (int(s2) + h2) & 0xFFFFFFFF
 
@@ -721,27 +805,19 @@ class DeviceCensusPipeline:
         (census int64[wlen,5], qsum int64[wlen]).  The fetch narrows to
         the smallest lossless dtype per column group first — the
         device->host link is the pipeline's scarcest resource."""
-        import jax
         import jax.numpy as jnp
         if self._pending is not None:
             prev, self._pending = self._pending, None
             self._drain(prev)
 
-        @jax.jit
-        def _split(c):
-            counts = c[:, :5]
-            qsum = c[:, 5]
-            return counts.max(), qsum.max(), counts, qsum
-
+        _split, _cast = _split_jit()
         cmax, qmax, counts, qsum = _split(self.census_dev)
         cmax, qmax = int(cmax), int(qmax)
         cdt = (jnp.uint8 if cmax < 256 else
                jnp.uint16 if cmax < 65536 else jnp.int32)
         qdt = jnp.uint16 if qmax < 65536 else jnp.int32
-        counts = np.asarray(jax.jit(
-            lambda x, d=cdt: x.astype(d))(counts))[:self.wlen]
-        qsum = np.asarray(jax.jit(
-            lambda x, d=qdt: x.astype(d))(qsum))[:self.wlen]
+        counts = np.asarray(_cast(counts, cdt))[:self.wlen]
+        qsum = np.asarray(_cast(qsum, qdt))[:self.wlen]
         census = counts.astype(np.int64) + self.host_census
         qsum = qsum.astype(np.int64) + self.host_qsum
         return census, qsum
