@@ -229,6 +229,77 @@ def run_core(path: str, ref_int: np.ndarray) -> dict:
             "d2h_rate_MBps": round(rate / 1e6, 1)}
 
 
+def kernel_table() -> dict:
+    """On-chip kernel micro-benchmarks (device-resident inputs, forced
+    completion via tiny fetch): the speed-of-light table for BENCH
+    detail.  Cheap (<2s warm) and failure-guarded."""
+    import jax
+    import jax.numpy as jnp
+    out = {}
+    try:
+        from samtools_tpu.ops import baq_device as bd
+        B, LQ, LRM, bw = 1 << 16, 100, 108, 7
+        rng = np.random.default_rng(0)
+        args = (jnp.asarray(rng.integers(0, 4, (B, LRM)), jnp.uint8),
+                jnp.asarray(rng.integers(0, 4, (B, LQ)), jnp.uint8),
+                jnp.asarray(rng.integers(10, 40, (B, LQ)), jnp.uint8),
+                jnp.zeros((LQ, B), jnp.int32),
+                jnp.full(B, 103, jnp.int32),
+                jnp.full(B, (1 - 0.001) / 103, jnp.float32),
+                jnp.full(B, 0.001 / 103, jnp.float32))
+        r = bd._probaln_batch(*args, LQ, LRM, bw)
+        np.asarray(r[2][:8])
+        best = 1e9
+        for _ in range(2):
+            t0 = time.perf_counter()
+            r = bd._probaln_batch(*args, LQ, LRM, bw)
+            np.asarray(r[2][:8])
+            best = min(best, time.perf_counter() - t0)
+        out["baq_hmm_us_per_read"] = round(best / B * 1e6, 2)
+        out["baq_hmm_reads_per_s"] = int(B / best)
+    except Exception as e:
+        out["baq_hmm_error"] = str(e)[:120]
+    try:
+        from samtools_tpu.ops import pileup_pallas as pp
+        if pp.available():
+            n = 1 << 24  # 16M census items (bases)
+            wlen = 1 << 21
+            tile = 128
+            rng = np.random.default_rng(1)
+            rp = np.sort(rng.integers(0, wlen, n)).astype(np.int32)
+            lane = rng.integers(0, 5, n).astype(np.uint8)
+            qual = rng.integers(0, 45, n).astype(np.uint8)
+            n_tiles = wlen // tile
+            lo = np.searchsorted(rp, np.arange(n_tiles) * tile
+                                 ).astype(np.int32)
+            hi = np.searchsorted(rp, np.arange(1, n_tiles + 1) * tile
+                                 ).astype(np.int32)
+            B = int((hi - lo).max())
+            # steady-state: inputs pre-packed and device-resident (the
+            # pipeline amortizes packing inside the fused chunk)
+            import jax as _jax
+            lo2, hi2, B_pad, n_pad = pp._shapes(rp, lo, hi, B)
+            rp3 = _jax.device_put(pp._pad_rows(
+                rp, n_pad, np.iinfo(np.int32).min).reshape(-1, 1, pp.KB))
+            _, pack_census = pp._packer(pp.KB)
+            w3 = pack_census(pp._pad_rows(lane, n_pad),
+                             pp._pad_rows(qual, n_pad), np.uint8(13))
+            o = pp._run(rp3, w3, lo2, hi2, 0, n_tiles, B_pad // pp.KB,
+                        False, tile)
+            np.asarray(o[:2])
+            best = 1e9
+            for _ in range(2):
+                t0 = time.perf_counter()
+                o = pp._run(rp3, w3, lo2, hi2, 0, n_tiles,
+                            B_pad // pp.KB, False, tile)
+                np.asarray(o[:2])
+                best = min(best, time.perf_counter() - t0)
+            out["census_pallas_Mbases_per_s"] = round(n / best / 1e6, 1)
+    except Exception as e:
+        out["census_error"] = str(e)[:120]
+    return out
+
+
 def warmup(ref_int: np.ndarray) -> float:
     from samtools_tpu.ops.mpileup_device import DeviceCensusPipeline
     from samtools_tpu.sim import simulate_batch
@@ -348,6 +419,11 @@ def main() -> int:
     except Exception as e:
         aux_rows["calmd"] = {"error": str(e)[:120]}
 
+    try:
+        kernels = kernel_table()
+    except Exception as e:
+        kernels = {"error": str(e)[:120]}
+
     n_bases = base["nrec"] * READ_LEN
     tool_rate = n_bases / tool["tool_s"]
     base_rate = n_bases / base["total_s"]
@@ -386,6 +462,7 @@ def main() -> int:
             "parity": parity_msg,
             "messy_indel_clip": messy_detail,
             "kernel_rows": aux_rows,
+            "device_kernels": kernels,
             "device": str(jax.devices()[0]),
         },
     }
