@@ -47,3 +47,43 @@ def use_device(n_items: int) -> bool:
     if n_items < _MIN_ITEMS:
         return False
     return accel_platform() == "tpu"
+
+
+# ---------------------------------------------------------------- compile cost
+# Some deployments reach the TPU through high-latency transports where
+# XLA executable load/compile costs tens of seconds PER PROCESS and the
+# persistent jit cache cannot help (the backend does not serialize
+# executables).  Short-lived CLI tools must not pay that blindly: the
+# measured cost of standing up the fused mpileup pipeline is cached on
+# disk (per box, TTL 6h) and consulted by the dispatch policy; it is
+# written by bench warmup and by any tool window that blows its budget.
+
+_COMPILE_COST_PATH = os.environ.get(
+    "SAMTPU_COMPILE_COST_CACHE", "/tmp/samtpu_compile_cost.json")
+_COMPILE_COST_TTL = 6 * 3600.0
+
+
+def compile_cost_cached() -> float | None:
+    """Measured pipeline stand-up seconds for this box, or None."""
+    import json
+    import time
+    try:
+        with open(_COMPILE_COST_PATH) as fh:
+            d = json.load(fh)
+        if time.time() - float(d["t"]) <= _COMPILE_COST_TTL:
+            return float(d["seconds"])
+    except Exception:
+        pass
+    return None
+
+
+def record_compile_cost(seconds: float) -> None:
+    import json
+    import time
+    try:
+        tmp = _COMPILE_COST_PATH + f".{os.getpid()}"
+        with open(tmp, "w") as fh:
+            json.dump({"seconds": float(seconds), "t": time.time()}, fh)
+        os.replace(tmp, _COMPILE_COST_PATH)
+    except Exception:
+        pass

@@ -264,7 +264,20 @@ def _chunk_jit():
                 census, (wbeg, 0),
                 (n_tiles_pad * tile, CENSUS_K)) + total, (wbeg, 0))
         if collect_quals:
-            return census, risky, appq
+            # sparse qual delta: BAQ changes ~0.5-3% of quals, so the
+            # tool fetches (count, indices, values) instead of the full
+            # [C, LQ] qual matrix — ~50x less d2h, which keeps the
+            # device engine viable on degraded links.  Fixed-capacity
+            # compaction (jnp.nonzero size=cap); finish_window falls
+            # back to the full appq fetch when count exceeds cap.
+            dmask = (appq != qq) & pad_ok[:, None]
+            flat = dmask.reshape(-1)
+            dcount = flat.sum(dtype=jnp.int32)
+            cap = (C * l_query) // 16
+            didx = jnp.nonzero(flat, size=cap, fill_value=0)[0] \
+                .astype(jnp.int32)
+            dval = appq.reshape(-1)[didx]
+            return census, risky, appq, dcount, didx, dval
         return census, risky
 
     return chunk_step
@@ -605,21 +618,33 @@ class DeviceCensusPipeline:
             for lo in range(0, dsel.size, C):
                 hi = min(lo + C, dsel.size)
                 cn = hi - lo
-                npad = C if dsel.size > C else cn
+                # bucket the chunk pad to a power of two: each window's
+                # remainder chunk otherwise compiles a fresh executable
+                # (ruinous over the tunnel), while tiny fixtures keep
+                # tiny shapes
+                npad = 512
+                while npad < cn:
+                    npad <<= 1
+                npad = min(npad, C)
                 buf, pc = self._make_buf(pos, lead[dsel], lref[dsel],
                                          cig8[dsel], seqm, qual, lo,
                                          hi, npad)
                 plan = self._plan(pc[:cn] - self.base, cn, npad)
-                self.census_dev, risky, appq = chunk_step(
-                    self.census_dev, self.ref_dev, jax.device_put(buf),
-                    np.int32(cn), plan[0], plan[1], jnp.int32(plan[2]),
-                    jnp.int32(self.base), jnp.int32(gate_lo - self.base),
-                    jnp.int32(gate_hi - self.base),
-                    self.l_query, self.l_query + LREF_PAD, self.bw,
-                    plan[3], plan[4], self.tile, 16, plan[5],
-                    self.min_baseq, 1 if self.baq_flag else 0, True,
-                    self.use_pallas)
-                handles.append((risky, appq, lo, cn))
+                self.census_dev, risky, appq, dcount, didx, dval = \
+                    chunk_step(
+                        self.census_dev, self.ref_dev,
+                        jax.device_put(buf),
+                        np.int32(cn), plan[0], plan[1],
+                        jnp.int32(plan[2]),
+                        jnp.int32(self.base),
+                        jnp.int32(gate_lo - self.base),
+                        jnp.int32(gate_hi - self.base),
+                        self.l_query, self.l_query + LREF_PAD, self.bw,
+                        plan[3], plan[4], self.tile, 16, plan[5],
+                        self.min_baseq, 1 if self.baq_flag else 0, True,
+                        self.use_pallas)
+                handles.append((risky, appq, dcount, didx, dval, lo,
+                                cn))
         return (sub, dsel, handles, gate_lo, gate_hi, hsel)
 
     def finish_window(self, handle, threads: int = 2) -> int:
@@ -631,17 +656,44 @@ class DeviceCensusPipeline:
         sub, dsel, handles, gate_lo, gate_hi, hsel = handle
         host_rows = [hsel]
         if handles:
-            fetched = jax.device_get([(r, a) for r, a, _, _ in handles])
-            for (rk, aq), (_, _, lo, cn) in zip(fetched, handles):
+            # d2h-minimal drain: risky masks + delta counts batched,
+            # then each chunk's (index, value) delta slice — typically
+            # <1% of the full [C, LQ] qual matrix.  Bucketed slice
+            # sizes keep the on-device slice programs cacheable.
+            LQ = self.l_query
+            fetched = jax.device_get(
+                [(h[0], h[2]) for h in handles])
+            for (rk, cnt), (_, appq_d, _, didx_d, dval_d, lo, cn) \
+                    in zip(fetched, handles):
                 rk = np.asarray(rk)[:cn]
-                aq = np.asarray(aq)[:cn]
+                cnt = int(cnt)
                 rows = dsel[lo:lo + cn]
-                okm = ~rk
-                if okm.any():
-                    rr = rows[okm]
-                    idx2 = sub.seq_off[rr][:, None] \
-                        + np.arange(self.l_query)[None, :]
-                    sub.qual[idx2.ravel()] = aq[okm].ravel()
+                npad = appq_d.shape[0]
+                cap = (npad * LQ) // 16
+                if cnt <= cap:
+                    if cnt:
+                        bucket = 1
+                        while bucket < cnt:
+                            bucket <<= 1
+                        bucket = min(bucket, cap)
+                        di = np.asarray(didx_d[:bucket])[:cnt]
+                        dv = np.asarray(dval_d[:bucket])[:cnt]
+                        ri = di // LQ
+                        qp = di % LQ
+                        # risky reads are recomputed whole on the host
+                        # below — their deltas must not touch the
+                        # original quals the host HMM consumes
+                        keep = (ri < cn) & ~rk[np.minimum(ri, cn - 1)]
+                        ri, qp, dv = ri[keep], qp[keep], dv[keep]
+                        sub.qual[sub.seq_off[rows[ri]] + qp] = dv
+                else:  # cap overflow: full-row fetch fallback
+                    aq = np.asarray(appq_d)[:cn]
+                    okm = ~rk
+                    if okm.any():
+                        rr = rows[okm]
+                        idx2 = sub.seq_off[rr][:, None] \
+                            + np.arange(LQ)[None, :]
+                        sub.qual[idx2.ravel()] = aq[okm].ravel()
                 if rk.any():
                     self.n_risky += int(rk.sum())
                     host_rows.append(rows[rk])

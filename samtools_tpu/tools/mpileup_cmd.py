@@ -1336,6 +1336,7 @@ class _DeviceBaqEngine:
         self.n_reads = 0
         self.n_host = 0
         self.n_device_windows = 0
+        self._force_host = False
 
     def _device_ok(self, sub) -> bool:
         import os
@@ -1348,9 +1349,25 @@ class _DeviceBaqEngine:
             return False
         if env in ("1", "device", "force"):
             return True
+        if self._force_host:
+            return False
+        # executable stand-up cost: on transports where per-process
+        # XLA load/compile costs tens of seconds (and the persistent
+        # cache cannot serialize), a short-lived CLI must stay on the
+        # host HMM.  The cost is measured once per box (bench warmup,
+        # or a tool window that blew its budget) and disk-cached.
+        from ..engine import compile_cost_cached
+        cost = compile_cost_cached()
+        if cost is not None and cost > float(os.environ.get(
+                "SAMTPU_MAX_COMPILE_S", "15")):
+            return False
         from ..ops.baq import _d2h_rate_cached, _d2h_rate
-        min_rate = float(os.environ.get("SAMTPU_D2H_MIN_MBPS",
-                                        "50")) * 1e6
+        # the engine's drain is d2h-minimal (sparse qual deltas +
+        # risky masks, ~1% of the qual matrix), so even a badly
+        # degraded link carries it; SAMTPU_MPILEUP_MIN_MBPS overrides
+        min_rate = float(os.environ.get(
+            "SAMTPU_MPILEUP_MIN_MBPS",
+            os.environ.get("SAMTPU_D2H_MIN_MBPS", "0.5"))) * 1e6
         cached = _d2h_rate_cached()
         rate = cached if cached is not None else _d2h_rate()
         return rate >= min_rate
@@ -1387,10 +1404,25 @@ class _DeviceBaqEngine:
                 except Exception:
                     pipe = None
         if pipe is not None:
+            import time as _time
             from ..core import metrics
+            t0 = _time.perf_counter()
             with metrics.stage("mpileup.device_window", sub.n, "reads"):
                 nh = pipe.apply_window(sub, wb, we,
                                        threads=self.threads)
+            dt = _time.perf_counter() - t0
+            if self.n_device_windows == 0:
+                # first device window carries the executable stand-up
+                # cost; if it blew the budget this box's transport is
+                # compile-bound — finish this run on the host HMM and
+                # record the verdict for future processes
+                budget = float(os.environ.get(
+                    "SAMTPU_DEVICE_BUDGET_S", "20"))
+                env = os.environ.get("SAMTPU_DEVICE", "auto")
+                if dt > budget and env not in ("1", "device", "force"):
+                    from ..engine import record_compile_cost
+                    record_compile_cost(dt)
+                    self._force_host = True
             self.n_reads += sub.n
             self.n_host += nh
             self.n_device_windows += 1
